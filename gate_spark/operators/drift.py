@@ -367,6 +367,45 @@ def detect_drift(
     )
 
 
+def drift_scores(summary: Summary, k: int = 3) -> DataFrame:
+    """Every partition's drift score + verdict as ONE DataFrame:
+    (partition: string, score, score_percentile, is_drifted).
+
+    Applies the reference's scoring (gate/drift.py:421-444, 107-126) to
+    each partition as if it were the "current" one: score = mean
+    Euclidean distance to its k nearest neighbor partitions in z-scored
+    summary space; percentile = rank of its score among all OTHER
+    partitions' scores (scipy kind='rank'); drifted iff >= 0.95.
+
+    The z-scoring runs in Spark; the pivoted matrix is metadata-scale
+    (partitions x features) and the kNN runs on the driver, exactly as
+    the reference does.
+    """
+    statistics = summary.statistics()
+    normalized = normalize(summary.df, summary.partition_key, statistics)
+    norm_pdf = normalized.toPandas()
+    pk = summary.partition_key
+    nn_features = (
+        norm_pdf.fillna(0.0)
+        .pivot_table(index=pk, columns=["column", "statistic"], values="value")
+        .fillna(0.0)
+    )
+    x = nn_features.to_numpy(dtype=np.float64)
+    dists, _ = kernels.knn_query(x, min(k + 1, len(x)))
+    d = dists.copy()
+    d[np.isinf(d)] = np.nan
+    scores = kernels.nanmean_rows(d[:, 1:])
+    rows = []
+    for i, part in enumerate(nn_features.index):
+        others = np.delete(scores, i)
+        pct = kernels.percentile_of_score(others, float(scores[i])) / 100.0
+        rows.append((str(part), float(scores[i]), pct, pct >= 0.95))
+    spark = summary.df.sparkSession
+    return spark.createDataFrame(
+        rows, "partition string, score double, score_percentile double, is_drifted boolean"
+    )
+
+
 def name_to_ec(name: str, embedding_columns: list[str]) -> str:
     """Strip a trailing _{i} dimension suffix back to the embedding
     column base name (reference: gate/drift.py:306-325)."""

@@ -83,18 +83,45 @@ def embedding_summary(
             )
             .withColumn("_val", F.col("_val").cast("double"))
         )
-        if quantile_mode == "linear":
-            qexpr = F.percentile("_val", F.array(F.lit(0.5), F.lit(0.95)))
-        else:
-            # approx sketch is also the gate-parity default for
-            # embeddings: per-dim distributions are dense, sketch picks
-            # actual data values (rank-based) like polars "nearest".
-            qexpr = F.percentile_approx(
-                "_val", F.array(F.lit(0.5), F.lit(0.95)), accuracy
+        if quantile_mode == "nearest":
+            # exact polars-"nearest" parity (oracle-checkable): quantile
+            # over (partition, dim) pairs via the shared rank cascade.
+            from gate_spark.operators.summarize import nearest_rank_quantiles_from_pairs
+
+            per_dim = exploded.groupBy(partition_key, "_pos").agg(
+                F.avg("_val").alias("mean")
             )
-        per_dim = exploded.groupBy(partition_key, "_pos").agg(
-            F.avg("_val").alias("mean"), qexpr.alias("_q")
-        )
+            qdf = nearest_rank_quantiles_from_pairs(
+                exploded.select(partition_key, "_pos", F.col("_val").alias("value")),
+                [partition_key, "_pos"],
+                (0.5, 0.95),
+            )
+            per_dim = per_dim.join(qdf, [partition_key, "_pos"]).select(
+                partition_key,
+                "_pos",
+                "mean",
+                F.col("_p50").alias("p50"),
+                F.col("_p95").alias("p95"),
+            )
+        else:
+            if quantile_mode == "linear":
+                qexpr = F.percentile("_val", F.array(F.lit(0.5), F.lit(0.95)))
+            else:
+                # approx sketch: per-dim distributions are dense, the
+                # sketch picks actual data values (rank-based) like
+                # polars "nearest" — the scale default.
+                qexpr = F.percentile_approx(
+                    "_val", F.array(F.lit(0.5), F.lit(0.95)), accuracy
+                )
+            per_dim = exploded.groupBy(partition_key, "_pos").agg(
+                F.avg("_val").alias("mean"), qexpr.alias("_q")
+            ).select(
+                partition_key,
+                "_pos",
+                "mean",
+                F.element_at("_q", 1).alias("p50"),
+                F.element_at("_q", 2).alias("p95"),
+            )
         long_df = (
             per_dim.join(cov, partition_key)
             .select(
@@ -104,8 +131,8 @@ def embedding_summary(
                 ),
                 "coverage",
                 "mean",
-                F.element_at("_q", 1).alias("p50"),
-                F.element_at("_q", 2).alias("p95"),
+                "p50",
+                "p95",
             )
         )
         parts.append(long_df)

@@ -437,23 +437,29 @@ def _nearest_rank_quantiles(
     default is the percentile_approx sketch.
     """
     pairs = _melt(df, partition_key, cols, "double")
-    counts = pairs.groupBy(partition_key, "column", "value").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
-    w = Window.partitionBy(partition_key, "column").orderBy("value")
-    wtot = Window.partitionBy(partition_key, "column")
+    return nearest_rank_quantiles_from_pairs(pairs, [partition_key, "column"], qs)
+
+
+def nearest_rank_quantiles_from_pairs(
+    pairs: DataFrame, keys: list[str], qs: tuple[float, ...]
+) -> DataFrame:
+    """Nearest-rank quantiles over a (keys..., value) pair table; one
+    output column ``_p{q*100}`` per requested quantile. The window sort
+    runs over *distinct* values per key (duplicates pre-counted with
+    map-side combine), so a key with billions of rows but bounded value
+    cardinality sorts a small set."""
+    counts = pairs.groupBy(*keys, "value").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy(*keys).orderBy("value")
+    wtot = Window.partitionBy(*keys)
     cum = (
         counts.withColumn("_cum", F.sum("_cnt").over(w))
         .withColumn("_n", F.sum("_cnt").over(wtot))
     )
     sel_exprs = []
-    out_names = []
     for q in qs:
         # 1-based target rank; F.round is HALF_UP for positives,
         # matching polars' round-half-away-from-zero.
         target = F.round(F.lit(q) * (F.col("_n") - 1), 0).cast("long") + 1
         hit = (target >= F.col("_cum") - F.col("_cnt") + 1) & (target <= F.col("_cum"))
-        name = f"_p{int(q * 100)}"
-        out_names.append(name)
-        sel_exprs.append(F.max(F.when(hit, F.col("value"))).alias(name))
-    return cum.groupBy(partition_key, "column").agg(*sel_exprs)
+        sel_exprs.append(F.max(F.when(hit, F.col("value"))).alias(f"_p{int(q * 100)}"))
+    return cum.groupBy(*keys).agg(*sel_exprs)

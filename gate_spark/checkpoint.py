@@ -1,0 +1,165 @@
+"""Checkpoint/resume store with per-partition lineage (north-rule).
+
+The reference has no persistence at all — "previous_summaries" are
+Python objects the caller must carry (gate/summarize.py:54). At
+10^12-row scale a validation run over hundreds of partitions must
+survive restarts, so each partition's completion is recorded as an
+append-only lineage row:
+
+    (run_spec, partition, snapshot_id, status, metrics_json, ts)
+
+- ``run_spec`` is a stable hash of the validation spec (columns,
+  constraints, thresholds): changing the spec invalidates prior
+  checkpoints automatically;
+- ``snapshot_id`` is the input snapshot stamp (Iceberg snapshot id
+  when available; caller-provided run stamp for plain parquet), so a
+  partition re-validates when its data changes but is skipped when
+  only the run restarted;
+- the store itself is a parquet directory (Iceberg table in
+  production — the API takes a path either way) of metadata-scale
+  rows; appends are atomic per file, and duplicate completion rows
+  are harmless (latest-wins on read).
+
+Resume contract: ``pending_partitions`` = all input partitions minus
+those with a committed row for (run_spec, snapshot_id); re-running a
+finished job is a no-op and re-emitting a partition's verdict is
+idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_spec", T.StringType(), False),
+        T.StructField("partition", T.StringType(), False),
+        T.StructField("snapshot_id", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("metrics_json", T.StringType(), True),
+        T.StructField("ts", T.DoubleType(), False),
+    ]
+)
+
+
+def spec_hash(spec: dict) -> str:
+    """Stable hash of a validation spec (sorted-key JSON)."""
+    blob = json.dumps(spec, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+class CheckpointStore:
+    """Parquet-backed per-partition lineage (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame | None:
+        if not self._exists():
+            return None
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+
+    def _exists(self) -> bool:
+        try:
+            return any(
+                f.endswith(".parquet") for f in os.listdir(self.path)
+            ) or any(
+                os.path.isdir(os.path.join(self.path, d)) for d in os.listdir(self.path)
+            )
+        except FileNotFoundError:
+            return False
+
+    def completed_partitions(self, run_spec: str, snapshot_id: str) -> set[str]:
+        df = self._read()
+        if df is None:
+            return set()
+        rows = (
+            df.where(
+                (F.col("run_spec") == run_spec)
+                & (F.col("snapshot_id") == snapshot_id)
+                & (F.col("status") == "completed")
+            )
+            .select("partition")
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+
+    def pending_partitions(
+        self, all_partitions: list[str], run_spec: str, snapshot_id: str
+    ) -> list[str]:
+        done = self.completed_partitions(run_spec, snapshot_id)
+        return [p for p in all_partitions if str(p) not in done]
+
+    def mark_completed(
+        self,
+        partitions: list[str],
+        run_spec: str,
+        snapshot_id: str,
+        metrics: dict[str, dict] | None = None,
+    ) -> None:
+        """Append completion rows (one atomic parquet file per call)."""
+        now = time.time()
+        rows = [
+            (
+                run_spec,
+                str(p),
+                snapshot_id,
+                "completed",
+                json.dumps((metrics or {}).get(str(p), {})),
+                now,
+            )
+            for p in partitions
+        ]
+        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def lineage(self) -> DataFrame:
+        df = self._read()
+        if df is None:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return df
+
+
+def resumable_run(
+    store: CheckpointStore,
+    df: DataFrame,
+    partition_key: str,
+    run_spec: str,
+    snapshot_id: str,
+    per_partition_job,
+    partitions: list[str] | None = None,
+) -> list[str]:
+    """Drive ``per_partition_job(partition_df, partition)`` over every
+    not-yet-committed partition; returns the partitions processed this
+    run. The per-partition read is a pushed-down equality filter, so a
+    source-partitioned table prunes to one directory per job.
+
+    ``per_partition_job`` returns a metrics dict recorded in lineage.
+    """
+    if partitions is None:
+        partitions = [
+            str(r[0])
+            for r in df.select(partition_key).distinct().orderBy(partition_key).collect()
+        ]
+    todo = store.pending_partitions(partitions, run_spec, snapshot_id)
+    done: list[str] = []
+    for p in todo:
+        part_df = df.where(F.col(partition_key) == F.lit(p))
+        metrics = per_partition_job(part_df, p) or {}
+        store.mark_completed([p], run_spec, snapshot_id, {str(p): metrics})
+        done.append(p)
+    return done
+
+
+def run_id() -> str:
+    return uuid.uuid4().hex[:12]

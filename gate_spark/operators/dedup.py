@@ -102,10 +102,20 @@ def minhash_signatures(
     pairs = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_size)).alias("_sh")
     )
-    aggs = [
-        F.min(_hash64(F.col("_sh"), i, hash_mode)).alias(f"_m{i}")
-        for i in range(num_perm)
-    ]
+    if hash_mode == "md5":
+        aggs = [
+            F.min(_hash64(F.col("_sh"), i, hash_mode)).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        # scale path: scan the shingle string ONCE (base xxhash64),
+        # then derive the k permutation hashes by re-hashing the 8-byte
+        # base — k long-hashes instead of k string-scans.
+        pairs = pairs.select(id_col, F.xxhash64("_sh").alias("_hb"))
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("_hb"))).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
     sigs = pairs.groupBy(id_col).agg(*aggs)
     return sigs.select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
@@ -197,6 +207,10 @@ def minhash_dedup(
     assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
     rows_per_band = num_perm // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_size, hash_mode)
+    # signatures are consumed three times (banding + both sides of the
+    # estimate join); persist so raw text is shingled+hashed exactly
+    # once — at scale this is the "signature table" materialization.
+    sigs = sigs.persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, max_bucket_size)
     est = minhash_estimated_jaccard(sigs, pairs, id_col, num_perm)
     return est.where(F.col("est_jaccard") >= F.lit(threshold))

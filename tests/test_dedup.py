@@ -1,0 +1,102 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup — synthetic corpus with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gate_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old oak door beside the garden wall"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 20 distinct docs
+    for i in range(20):
+        rows.append((i, f"document number {i} " + BASE + f" unique suffix {i} " * 3))
+    # exact duplicates of docs 0 and 1
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    # near-duplicate of doc 2 (one word changed)
+    rows.append((102, rows[2][1].replace("garden", "forest")))
+    # unrelated doc
+    rows.append((103, "completely different content about spark query engines"))
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(corpus):
+    out = dd.exact_duplicates(corpus, "doc_id", "text").toPandas()
+    assert set(out["doc_id"]) == {0, 100, 1, 101}
+    assert (out["group_size"] == 2).all()
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash", "md5"])
+def test_minhash_finds_planted_pairs(corpus, hash_mode):
+    pairs = dd.minhash_dedup(
+        corpus, "doc_id", "text",
+        num_perm=32, num_bands=8, threshold=0.6, hash_mode=hash_mode,
+    ).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 100) in found
+    assert (1, 101) in found
+    assert (2, 102) in found  # near-dup shares most shingles
+    # exact dups estimate jaccard 1.0
+    exact = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 100)]
+    assert (exact["est_jaccard"] == 1.0).all()
+    # the unrelated doc pairs with nothing
+    assert 103 not in set(pairs["id_a"]) | set(pairs["id_b"])
+
+
+def test_simhash_equal_for_equal_content(corpus):
+    sh = dd.simhash(corpus, "doc_id", "text", bits=32).toPandas()
+    m = dict(zip(sh["doc_id"], sh["simhash"]))
+    assert m[0] == m[100]
+    assert m[1] == m[101]
+    # near-dup differs in few bits
+    diff_bits = bin(m[2] ^ m[102]).count("1")
+    assert diff_bits <= 6
+    # unrelated doc differs in many bits from doc 0
+    assert bin(m[0] ^ m[103]).count("1") > 6
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.4
+    ).toPandas()
+    lookup = {
+        tuple(sorted((a, b))): j
+        for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])
+    }
+    assert lookup[(0, 100)] == 1.0
+    assert 0.4 <= lookup[(2, 102)] < 1.0
+
+
+def test_gram_df_cap_drops_stopword_grams(spark):
+    # every doc shares the same 3-gram; cap=1 removes it from candidate
+    # generation, so no pairs survive
+    rows = [(i, f"shared common gram unique{i} tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    none = dd.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01, max_gram_df=1)
+    assert none.count() == 0
+
+
+def test_embedding_near_duplicates(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.rand(10, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(10)]
+    rows.append((100, (base[0] + 1e-4).tolist()))  # near-dup of 0
+    df = spark.createDataFrame(rows, ["vec_id", "vec"])
+    out = dd.embedding_near_duplicates(
+        df, "vec_id", "vec", threshold=0.999, brute_force=True
+    ).toPandas()
+    assert {(a, b) for a, b in zip(out["id_a"], out["id_b"])} == {(0, 100)}
+    lsh = dd.embedding_near_duplicates(
+        df, "vec_id", "vec", threshold=0.999, num_planes=4
+    ).toPandas()
+    assert (0, 100) in {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}

@@ -1,0 +1,117 @@
+"""Similarity search (brute-force vs numpy oracle; IVF recall) and
+text-analysis operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gate_spark.operators import similarity as sim
+from gate_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def _numpy_topk(mat, ids, qidx, k):
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in qidx:
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = sorted(
+            (i for i in range(len(mat)) if i != qi),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        out[ids[qi]] = [ids[i] for i in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].tolist()
+    expected = _numpy_topk(mat, ids, range(3), k=5)
+
+    out = sim.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 3),
+        corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=5,
+    ).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        got = grp.sort_values("rank")["neighbor_id"].tolist()
+        assert got == expected[qid], f"query {qid}"
+
+
+def test_ivf_topk_recall(emb):
+    exact = sim.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=10,
+    ).toPandas()
+    approx = sim.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5),
+        corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding",
+        k=10, num_cells=8, nprobe=4,
+    ).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    # nprobe=4 of 8 cells on random vectors: recall well above chance
+    assert np.mean(recalls) >= 0.5
+
+
+def test_text_statistics_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, "word " * 20)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r for r in ts.text_statistics(df, "doc_id", "text").collect()
+    }
+    r1 = out[1]
+    assert r1["n_words"] == 5.0
+    assert r1["n_chars"] == 20.0
+    # "The cat and the dog!" -> words lens 3,3,3,3,4 = 16/5
+    assert abs(r1["avg_word_len"] - 16 / 5) < 1e-9
+    assert abs(r1["punct_ratio"] - 1 / 20) < 1e-9
+    # stopwords: "the"(x2, case-insensitive) + "and" = 3/5
+    assert abs(r1["stopword_ratio"] - 3 / 5) < 1e-9
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it was for sale"),
+            (2, "el perro que corre en la casa de los vecinos"),
+            (3, "der Hund ist nicht auf der Couch und das Haus"),
+            (4, "le chat est dans les jardins du village et une maison"),
+            (5, "这是一个中文句子用于测试语言识别功能"),
+            (6, "zzz qqq xxx www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dict(
+        (r["doc_id"], r["pred_lang"])
+        for r in ts.language_id(df, "doc_id", "text").collect()
+    )
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world 42!")], ["doc_id", "text"])
+    r = ts.token_counts(df, "doc_id", "text").first()
+    assert r["ws_tokens"] == 3
+    # BPE-ish: Hello , world 4 2 !  -> 6
+    assert r["bpe_tokens"] == 6
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 50), (2, "a" * 50), (3, "b" * 50)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in ts.fingerprint(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

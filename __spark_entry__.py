@@ -296,6 +296,52 @@ def q_embedding_dims(spark, sf_dir):
     )
 
 
+def q_summarize_tokens(spark, sf_dir):
+    """The north-star canonical job: per-source summaries of the token
+    table (array column summarized over its lengths, SURVEY.md §1.3)."""
+    s = summarize(
+        _tokens_view(spark, sf_dir),
+        columns=["n_tok", "tokens", "doc_id"],
+        partition_key="source",
+        distinct_mode="exact",
+        quantile_mode="nearest",
+    )
+    return s.df.select(
+        "source", "column", *[_r6(F.col(c)).alias(c) for c in GATE_STATS]
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    view = emb.unionByName(dups)
+    out = dd.embedding_near_duplicates(
+        view, "vec_id", "embedding", threshold=0.99, brute_force=True
+    )
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (scale path of knn_cosine). No SQL oracle:
+    centroids come from a driver-side k-means — the driver records the
+    rows-only check; exactness is pinned by test_similarity_text.py's
+    recall assertion against the brute-force oracle-checked query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        corpus_id="vec_id",
+        corpus_vec="embedding",
+        query_id="vec_id",
+        query_vec="embedding",
+        k=5,
+        num_cells=8,
+        nprobe=4,
+    ).select("query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
 def q_trailing_zscore_events(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -352,6 +398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
         "embedding_dims": q_embedding_dims,
+        "summarize_tokens": q_summarize_tokens,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
         "trailing_zscore_events": q_trailing_zscore_events,
     }
 
@@ -391,5 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_counts_sql(),
         "knn_cosine": oracles.knn_cosine_sql(5, 5),
         "embedding_dims": oracles.embedding_dims_sql(64),
+        "summarize_tokens": oracles.token_summary_sql(),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(0.99),
         "trailing_zscore_events": oracles.trailing_zscore_events_sql(7),
     }

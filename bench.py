@@ -64,19 +64,20 @@ def bench_queries(spark):
         _force(s.df)
 
     def q_token_validation():
-        import __spark_entry__ as e
+        from gate_spark.pipeline import validate_tokens
 
-        tok = tokens_view()
-        s = summarize(
-            tok, columns=["n_tok", "tokens", "doc_id"], partition_key="source",
-            distinct_mode="approx", quantile_mode="approx",
+        r = validate_tokens(
+            tokens_view(),
+            domain=tuple(f"src{i}" for i in range(16)),
+            vocab=(1, 12),
+            compute_drift=True,
         )
-        verdicts, violations = evaluate_constraints(
-            tok, "source", e.TOKEN_CONSTRAINTS, key_column="doc_id"
-        )
-        _force(s.df)
-        _force(verdicts)
-        _force(violations)
+        _force(r.summary.df)
+        _force(r.verdicts)
+        _force(r.violations)
+        _force(r.distribution)
+        _force(r.drift)
+        r.unpersist()
 
     def q_drift_events():
         day = t("events").select(

@@ -33,8 +33,9 @@ from gate_spark.operators.constraints import (
     VocabBoundsConstraint,
     evaluate_constraints,
 )
-from gate_spark.operators.drift import DriftResult, detect_drift
+from gate_spark.operators.drift import DriftResult, detect_drift, drift_scores
 from gate_spark.operators.distribution import distribution_drift, ks_statistic, psi
+from gate_spark.pipeline import TokenValidationResult, validate_tokens
 from gate_spark.session import get_spark
 
 __all__ = [
@@ -52,9 +53,12 @@ __all__ = [
     "evaluate_constraints",
     "DriftResult",
     "detect_drift",
+    "drift_scores",
     "distribution_drift",
     "ks_statistic",
     "psi",
+    "TokenValidationResult",
+    "validate_tokens",
     "get_spark",
 ]
 

@@ -171,6 +171,7 @@ def summarize(
     extras: bool = False,  # add count/min/max/null_fraction/stddev (north-rule)
     accuracy: int = 10000,
     compute_embedding_examples: bool = True,
+    skew_salt: int | None = None,  # explicit two-phase salted aggregation
 ) -> Summary:
     """Compute per-partition summaries (reference entry point:
     gate/summarize.py:49-117 -> Summary.fromRaw gate/summary.py:148-403).
@@ -206,6 +207,7 @@ def summarize(
                 quantile_mode=quantile_mode,
                 extras=extras,
                 accuracy=accuracy,
+                skew_salt=skew_salt,
             )
         )
 
@@ -254,6 +256,7 @@ def _scalar_summary(
     quantile_mode: str,
     extras: bool,
     accuracy: int,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     cols = list(column_types)
 
@@ -285,6 +288,53 @@ def _scalar_summary(
     needs_occ = {
         c for c in cols if "occurrence_ratio" in TYPE_TO_STATISTICS[column_types[c]]
     }
+
+    if skew_salt:
+        # ---- explicit two-phase salted aggregation (north rule: "skew
+        # from heavy source partitions handled with salted aggregation +
+        # two-phase merge of mergeable sketches"). Phase 1 groups by
+        # (partition, salt) building mergeable partials — counts, sums,
+        # sum-of-squares, min/max, HLL sketches; phase 2 merges per
+        # partition. A reducer therefore never receives more than
+        # 1/salt of a heavy partition's phase-1 output. Quantiles and
+        # occurrence_ratio always use the value-keyed cascades below,
+        # which are skew-proof by construction (the value IS the salt).
+        long_df = _salted_scalar_pass(
+            wdf, partition_key, cols, eff_type, column_types,
+            needs_numeric, needs_distinct,
+            distinct_mode=distinct_mode, extras=extras,
+            stats_order=list(GATE_STATISTICS) + (list(EXTRA_STATISTICS) if extras else []),
+            skew_salt=skew_salt,
+        )
+        occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
+        if occ_cols:
+            side = _occurrence_and_distinct(wdf, partition_key, occ_cols)
+            long_df = long_df.join(side, [partition_key, "column"], "left")
+            long_df = long_df.withColumn(
+                "occurrence_ratio",
+                F.when(F.col("column").isin(sorted(needs_occ)), F.col("_occ"))
+                .otherwise(F.col("occurrence_ratio")),
+            )
+            if distinct_mode == "exact":
+                long_df = long_df.withColumn(
+                    "num_unique_values",
+                    F.when(
+                        F.col("column").isin(sorted(needs_distinct)),
+                        F.col("_ndv").cast("double"),
+                    ).otherwise(F.col("num_unique_values")),
+                )
+            long_df = long_df.drop("_occ", "_ndv")
+        num_cols = sorted(needs_numeric)
+        if num_cols:
+            qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+            long_df = long_df.join(qside, [partition_key, "column"], "left")
+            long_df = (
+                long_df.withColumn("p50", F.coalesce(F.col("_p50"), F.col("p50")))
+                .withColumn("p95", F.coalesce(F.col("_p95"), F.col("p95")))
+                .drop("_p50", "_p95")
+            )
+        stats_order = list(GATE_STATISTICS) + (list(EXTRA_STATISTICS) if extras else [])
+        return long_df.select(partition_key, "column", *stats_order)
 
     # ---- pass 1: everything expressible as a single partial-aggregable
     # groupBy — one scan, one (tiny) shuffle.
@@ -382,6 +432,107 @@ def _scalar_summary(
             )
 
     return long_df.select(partition_key, "column", *stats_order)
+
+
+def _salted_scalar_pass(
+    wdf: DataFrame,
+    partition_key: str,
+    cols: list[str],
+    eff_type: dict[str, str],
+    column_types: dict[str, str],
+    needs_numeric: set,
+    needs_distinct: set,
+    *,
+    distinct_mode: str,
+    extras: bool,
+    stats_order: list[str],
+    skew_salt: int,
+) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(partition, salt) building
+    mergeable partials, then groupBy(partition) merging them.
+
+    Mergeable state per column: (rows, non-null count, sum, sum-of-
+    squares, min, max[, HLL sketch]). mean = Σsum/Σn; stddev_samp via
+    the sum-of-squares identity (adequate for the approximate scale
+    path; the exact path uses Catalyst's single-pass stddev_samp).
+    Distinct uses hll_sketch_agg/hll_union_agg — the sketch merge is
+    exact with respect to the sketch, so salting changes nothing.
+    """
+    salt = F.pmod(F.spark_partition_id(), F.lit(skew_salt)).alias("_salt")
+    p1_aggs: list = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        p1_aggs.append(F.count(F.lit(1)).alias(f"c{i}__rows"))
+        p1_aggs.append(F.count(col).alias(f"c{i}__n"))
+        if c in needs_numeric:
+            d = col.cast("double")
+            p1_aggs.append(F.sum(d).alias(f"c{i}__sum"))
+            p1_aggs.append(F.sum(d * d).alias(f"c{i}__sumsq"))
+            p1_aggs.append(F.min(d).alias(f"c{i}__min"))
+            p1_aggs.append(F.max(d).alias(f"c{i}__max"))
+        if c in needs_distinct and distinct_mode == "approx":
+            p1_aggs.append(F.hll_sketch_agg(col.cast("string")).alias(f"c{i}__hll"))
+    phase1 = wdf.groupBy(F.col(partition_key), salt).agg(*p1_aggs)
+
+    p2_aggs: list = []
+    for i, c in enumerate(cols):
+        p2_aggs.append(F.sum(f"c{i}__rows").alias(f"c{i}__rows"))
+        p2_aggs.append(F.sum(f"c{i}__n").alias(f"c{i}__n"))
+        if c in needs_numeric:
+            p2_aggs.append(F.sum(f"c{i}__sum").alias(f"c{i}__sum"))
+            p2_aggs.append(F.sum(f"c{i}__sumsq").alias(f"c{i}__sumsq"))
+            p2_aggs.append(F.min(f"c{i}__min").alias(f"c{i}__min"))
+            p2_aggs.append(F.max(f"c{i}__max").alias(f"c{i}__max"))
+        if c in needs_distinct and distinct_mode == "approx":
+            p2_aggs.append(
+                F.hll_sketch_estimate(F.hll_union_agg(f"c{i}__hll")).alias(f"c{i}__ndv")
+            )
+    merged = phase1.groupBy(partition_key).agg(*p2_aggs)
+
+    structs = []
+    for i, c in enumerate(cols):
+        available = set(TYPE_TO_STATISTICS[column_types[c]])
+        if extras:
+            available |= set(EXTRA_BY_TYPE[column_types[c]])
+        rows_ = F.col(f"c{i}__rows").cast("double")
+        n = F.col(f"c{i}__n").cast("double")
+        exprs: dict[str, "F.Column"] = {
+            "coverage": n / rows_,
+            "num_unique_values": (
+                F.col(f"c{i}__ndv").cast("double")
+                if c in needs_distinct and distinct_mode == "approx"
+                else F.lit(None).cast("double")
+            ),
+            "occurrence_ratio": F.lit(None).cast("double"),
+            "p50": F.lit(None).cast("double"),
+            "p95": F.lit(None).cast("double"),
+        }
+        if c in needs_numeric:
+            s, ss = F.col(f"c{i}__sum"), F.col(f"c{i}__sumsq")
+            exprs["mean"] = s / n
+            exprs["count"] = n
+            exprs["min"] = F.col(f"c{i}__min")
+            exprs["max"] = F.col(f"c{i}__max")
+            exprs["stddev"] = F.when(
+                n > 1, F.sqrt(F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
+            )
+        else:
+            exprs["mean"] = F.lit(None).cast("double")
+            exprs["count"] = n
+            exprs["min"] = F.lit(None).cast("double")
+            exprs["max"] = F.lit(None).cast("double")
+            exprs["stddev"] = F.lit(None).cast("double")
+        exprs["null_fraction"] = (rows_ - n) / rows_
+        fields = [F.lit(c).alias("column")]
+        for st in stats_order:
+            src = exprs.get(st, F.lit(None).cast("double"))
+            if st not in available:
+                src = F.lit(None).cast("double")
+            fields.append(src.cast("double").alias(st))
+        structs.append(F.struct(*fields))
+    return merged.select(
+        partition_key, F.explode(F.array(*structs)).alias("_s")
+    ).select(partition_key, "_s.*")
 
 
 def _melt(

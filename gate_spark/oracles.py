@@ -303,6 +303,23 @@ SELECT CAST(source AS VARCHAR), 'vocab_bounds', CAST(doc_id AS VARCHAR),
 FROM tok WHERE coalesce(len(list_filter(tokens, t -> t < 1 OR t >= 12)) > 0, FALSE)"""
 
 
+TOKENS_SCALAR_VIEW_SQL = (
+    "SELECT source, n_tok, CAST(len(tokens) AS INTEGER) AS tokens, doc_id"
+    f" FROM ({TOKENS_VIEW_SQL}) t"
+)
+
+
+def token_summary_sql() -> str:
+    """Twin of summarize() over the canonical token table: the engine
+    summarizes array columns over their lengths (SURVEY.md §1.3), so
+    the oracle view exposes len(tokens) under the same column name."""
+    return summary_sql(
+        f"({TOKENS_SCALAR_VIEW_SQL})",
+        "source",
+        {"n_tok": "int", "tokens": "int", "doc_id": "int"},
+    )
+
+
 # ------------------------------------------------------------------- dedup
 
 DOCS_DUP_VIEW = """SELECT doc_id, text, source FROM documents
@@ -487,6 +504,28 @@ r AS (SELECT query_id, neighbor_id, cos,
       FROM scored)
 SELECT query_id, neighbor_id, {_f6('cos')} AS cosine, CAST(rnk AS INTEGER) AS rank
 FROM r WHERE rnk <= {k}"""
+
+
+EMB_DUP_VIEW = """SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.99) -> str:
+    """Twin of embedding_near_duplicates(brute_force=True) on the
+    dup-injected embeddings view."""
+    dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""WITH e AS ({EMB_DUP_VIEW}),
+scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    {dot} / ({nrm.format(v='a.embedding')} * {nrm.format(v='b.embedding')}) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_f6('cos')} AS cosine FROM scored WHERE cos >= {threshold}"""
 
 
 def embedding_dims_sql(dim: int = 64) -> str:

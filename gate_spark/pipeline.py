@@ -1,0 +1,250 @@
+"""The north-star validation pipeline over the canonical token table.
+
+``validate_tokens`` runs summaries + the full constraint suite + PSI/KS
++ kNN drift as ONE orchestrated job with a single scan of the raw
+table: token arrays are reduced to scalars (length) and row-local
+violation flags *inside the scan projection*, and the resulting slim
+frame (partition, key, scalars, flags — no arrays, ~1% of raw bytes)
+is persisted and shared by every downstream aggregation.
+
+Why this topology at 100 TB: the dominant cost is decoding the
+``tokens`` arrays from parquet. Running summaries, verdicts,
+violations, and histograms as independent jobs re-decodes the arrays
+once each (4x the scan bill); extracting every array-derived value in
+one pass makes all substreams metadata-light. On a cluster the slim
+frame would be written to a scratch table instead of memory — the
+``materialize`` hook supports that.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gate_spark.operators.summarize import Summary, summarize
+from gate_spark.operators.distribution import partition_histograms
+from gate_spark.operators.drift import drift_scores
+
+
+def _psi_ks_driver(hist, spark, psi_threshold: float, ks_threshold: float):
+    """PSI/KS from a collected (partition, bin, bin_count) histogram —
+    same math as distribution.psi_ks_from_histogram, computed in numpy
+    on the metadata-scale table (one Spark job instead of six stages)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = hist.toPandas()
+    rows = []
+    if len(pdf):
+        pivot = pdf.pivot_table(
+            index="partition", columns="bin", values="bin_count", fill_value=0
+        ).astype(float)
+        mat = pivot.to_numpy()
+        totals = mat.sum(axis=1, keepdims=True)
+        gbin = mat.sum(axis=0, keepdims=True)
+        gtot = mat.sum()
+        for i, part in enumerate(pivot.index):
+            p = np.maximum(mat[i] / totals[i], 1e-6)
+            q = np.maximum((gbin[0] - mat[i]) / (gtot - totals[i][0]), 1e-6)
+            psi_v = float(((p - q) * np.log(p / q)).sum())
+            ks_v = float(np.abs(np.cumsum(p) - np.cumsum(q)).max())
+            rows.append(
+                (str(part), psi_v, ks_v, psi_v >= psi_threshold, ks_v >= ks_threshold)
+            )
+    return spark.createDataFrame(
+        rows,
+        "partition string, psi double, ks double, psi_drifted boolean,"
+        " ks_drifted boolean",
+    )
+
+
+@dataclass
+class TokenValidationResult:
+    summary: Summary
+    verdicts: DataFrame
+    violations: DataFrame
+    distribution: DataFrame
+    drift: DataFrame | None
+    slim: DataFrame
+
+    def unpersist(self) -> None:
+        self.slim.unpersist()
+        self.summary.df.unpersist()
+
+
+def validate_tokens(
+    df: DataFrame,
+    *,
+    partition_key: str = "source",
+    doc_id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    domain: tuple[str, ...] | None = None,
+    vocab: tuple[int, int] = (0, 50257),
+    distinct_mode: str = "approx",
+    quantile_mode: str = "approx",
+    accuracy: int = 10000,
+    num_bins: int = 10,
+    drift_k: int = 3,
+    compute_drift: bool = True,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.2,
+) -> TokenValidationResult:
+    """One-scan validation of a (doc_id, tokens, n_tok, source) table.
+
+    Constraint suite (north rule): uniqueness of doc_id, n_tok ==
+    size(tokens), source-domain membership, vocab-range bounds.
+    Verdicts: (partition, constraint, violation_count, row_count,
+    passed). Violations: (partition, constraint, key, detail).
+    """
+    lo, hi = vocab
+    tokens = F.col(tokens_col)
+    tok_len = F.size(tokens)
+
+    f_eq = ~F.coalesce(F.col(n_tok_col) == tok_len, F.lit(False))
+    f_vocab = F.coalesce(
+        F.exists(tokens, lambda x: (x < F.lit(lo)) | (x >= F.lit(hi))), F.lit(False)
+    )
+    if domain is not None:
+        f_member = ~F.coalesce(F.col(partition_key).isin(list(domain)), F.lit(False))
+    else:
+        f_member = F.lit(False)
+
+    # ONE scan: every array-derived value + flags + (conditional)
+    # violation details; arrays never leave the scan stage.
+    slim = df.select(
+        F.col(partition_key).alias("_pk"),
+        F.col(doc_id_col).alias("_key"),
+        F.col(n_tok_col).cast("long").alias("n_tok"),
+        tok_len.cast("long").alias("tok_len"),
+        f_eq.alias("_f_eq"),
+        f_member.alias("_f_member"),
+        f_vocab.alias("_f_vocab"),
+        F.when(f_vocab, F.array_min(tokens)).alias("_vmin"),
+        F.when(f_vocab, F.array_max(tokens)).alias("_vmax"),
+    ).persist()
+
+    # uniqueness: groupBy on the slim frame, broadcast the (rare) dupes
+    dupes = (
+        slim.groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .where(F.col("_dup") > 1)
+    )
+    flagged = slim.join(F.broadcast(dupes), "_key", "left").withColumn(
+        "_f_unique", F.col("_dup").isNotNull()
+    )
+
+    names = ["unique_doc_id", "token_array_equality", "source_membership", "vocab_bounds"]
+    flags = ["_f_unique", "_f_eq", "_f_member", "_f_vocab"]
+    counts = flagged.groupBy("_pk").agg(
+        F.count(F.lit(1)).alias("_rc"),
+        *[F.sum(F.col(f).cast("long")).alias(f"_c{i}") for i, f in enumerate(flags)],
+    )
+    verdicts = counts.select(
+        F.col("_pk").alias("partition"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("constraint"),
+                        F.col(f"_c{i}").alias("violation_count"),
+                        F.col("_rc").alias("row_count"),
+                        (F.col(f"_c{i}") == 0).alias("passed"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("_v"),
+    ).select("partition", "_v.constraint", "_v.violation_count", "_v.row_count", "_v.passed")
+
+    details = [
+        F.concat(F.lit("duplicate doc_id="), F.col("_key").cast("string")),
+        F.lit(f"violated: {n_tok_col} = size({tokens_col})"),
+        F.concat(F.lit(f"{partition_key} not in domain: "), F.col("_pk").cast("string")),
+        F.concat(
+            F.lit(f"token out of [{lo},{hi}): min="),
+            F.col("_vmin").cast("string"),
+            F.lit(" max="),
+            F.col("_vmax").cast("string"),
+        ),
+    ]
+    any_flag = F.col(flags[0])
+    for f in flags[1:]:
+        any_flag = any_flag | F.col(f)
+    violations = (
+        flagged.where(any_flag)
+        .select(
+            F.col("_pk").cast("string").alias("partition"),
+            F.col("_key").cast("string").alias("key"),
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col(f),
+                                F.struct(F.lit(n).alias("constraint"), d.alias("detail")),
+                            )
+                            for n, f, d in zip(names, flags, details)
+                        ]
+                    ),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("_w"),
+        )
+        .select("partition", F.col("_w.constraint").alias("constraint"), "key", "_w.detail")
+    )
+
+    # summaries over the slim scalars (array column summarized over its
+    # length, SURVEY.md §1.3) — aliased back to the user-facing names
+    stats_src = slim.select(
+        F.col("_pk").alias(partition_key),
+        F.col("n_tok").alias(n_tok_col),
+        F.col("tok_len").alias(tokens_col),
+        F.col("_key").alias(doc_id_col),
+    )
+    summary = summarize(
+        stats_src,
+        columns=[n_tok_col, tokens_col, doc_id_col],
+        partition_key=partition_key,
+        distinct_mode=distinct_mode,
+        quantile_mode=quantile_mode,
+        extras=True,
+        accuracy=accuracy,
+    )
+    # the summary is metadata-scale but its DAG re-aggregates slim on
+    # every action — persist so drift / callers' forces reuse one run
+    summary.df = summary.df.persist()
+
+    # PSI/KS: equi-width bin edges from the summary's own min/max (no
+    # extra pass over data), ONE histogram aggregation over slim, then
+    # the PSI/KS arithmetic on the collected (partitions x bins <= few
+    # hundred rows) histogram — metadata-scale driver math, exactly
+    # like the reference's drift kernels. The standalone
+    # distribution_drift keeps the all-DataFrame formulation (it is the
+    # oracle-gated variant).
+    mm = (
+        summary.df.where(F.col("column") == n_tok_col)
+        .agg(F.min("min").alias("lo"), F.max("max").alias("hi"))
+        .first()
+    )
+    lo_v = float(mm["lo"]) if mm["lo"] is not None else 0.0
+    hi_v = float(mm["hi"]) if mm["hi"] is not None else lo_v + 1.0
+    step = (hi_v - lo_v) / num_bins or 1.0
+    edges = [lo_v + i * step for i in range(1, num_bins)]
+    hist = partition_histograms(slim, "_pk", "n_tok", edges)
+    distribution = _psi_ks_driver(
+        hist, df.sparkSession, psi_threshold, ks_threshold
+    )
+
+    drift = drift_scores(summary, k=drift_k) if compute_drift else None
+
+    return TokenValidationResult(
+        summary=summary,
+        verdicts=verdicts,
+        violations=violations,
+        distribution=distribution,
+        drift=drift,
+        slim=slim,
+    )

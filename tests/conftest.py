@@ -65,45 +65,59 @@ def small_df(spark):
     return spark.createDataFrame(pdf)
 
 
-def _replicated_partitions(
-    n_parts: int, rows_per_part: int, seed: int, drift_last: bool
-) -> pd.DataFrame:
-    """reference tests/conftest.py:54-136 — daily partitions; same
-    i.i.d. distributions in every partition, optionally shifted in the
-    last one."""
-    rng = np.random.RandomState(seed)
-    frames = []
+@pytest.fixture(scope="session")
+def medium_df(spark):
+    """reference tests/conftest.py:54-79 — 30 daily partitions holding
+    the SAME drawn data (identical partitions => zero drift score)."""
+    rng = np.random.RandomState(42)
+    n = 2000
+    int_col = rng.randint(0, 10, n)
+    float_col = rng.normal(0, 1, n)
+    string_col = rng.choice(["A", "B", "C"], n)
     start = dt.datetime(2022, 1, 1)
-    for p in range(n_parts):
-        drifted = drift_last and p == n_parts - 1
-        n = rows_per_part
+    frames = [
+        pd.DataFrame(
+            {
+                "date": [start + dt.timedelta(days=p)] * n,
+                "int_col": int_col,
+                "float_col": float_col,
+                "string_col": string_col,
+            }
+        )
+        for p in range(30)
+    ]
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+@pytest.fixture(scope="session")
+def df_with_drift(spark):
+    """reference tests/conftest.py:82-136 — 10 daily partitions, 11
+    columns drawn i.i.d. per partition, last partition's
+    int/float/string distributions shifted."""
+    rng = np.random.RandomState(42)
+    n = 2000
+    start = dt.datetime(2022, 1, 1)
+    frames = []
+    for p in range(10):
+        drifted = p == 9
         frames.append(
             pd.DataFrame(
                 {
                     "date": [start + dt.timedelta(days=p)] * n,
                     "int_col": rng.randint(10, 20, n) if drifted else rng.randint(0, 10, n),
-                    "float_col": (
-                        rng.normal(1, 2, n) if drifted else rng.normal(0, 1, n)
-                    ),
-                    "string_col": rng.choice(
-                        ["D", "B", "C"] if drifted else ["A", "B", "C"], n
-                    ),
+                    "float_col": rng.normal(1, 2, n) if drifted else rng.normal(0, 1, n),
+                    "string_col": rng.choice(["D", "B", "C"] if drifted else ["A", "B", "C"], n),
+                    "int_col_2": rng.randint(10, 20, n),
+                    "float_col_2": rng.normal(1, 2, n),
+                    "float_col_3": rng.normal(1, 2, n),
+                    "float_col_4": rng.normal(1, 2, n),
+                    "string_col_2": rng.choice(["D", "B", "C"], n),
+                    "string_col_3": rng.choice(["E", "B", "C"], n),
+                    "string_col_4": rng.choice(["F", "B", "C"], n),
                 }
             )
         )
-    return pd.concat(frames, ignore_index=True)
-
-
-@pytest.fixture(scope="session")
-def medium_df(spark):
-    """reference tests/conftest.py:54-79 — 30 partitions, no drift."""
-    return spark.createDataFrame(_replicated_partitions(30, 2000, 42, False))
-
-
-@pytest.fixture(scope="session")
-def df_with_drift(spark):
-    """reference tests/conftest.py:82-136 — 10 partitions, last drifted."""
-    return spark.createDataFrame(_replicated_partitions(10, 2000, 42, True))
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,88 @@
+"""One-scan validate_tokens pipeline: results must equal the
+standalone operators it fuses."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gate_spark import (
+    MembershipConstraint,
+    TokenArrayEquality,
+    UniqueConstraint,
+    VocabBoundsConstraint,
+    evaluate_constraints,
+    summarize,
+    validate_tokens,
+)
+from gate_spark.datagen import token_table
+
+DOMAIN = tuple(f"src{i}" for i in range(20))
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    return token_table(
+        spark, 3000, seed=13,
+        dup_frac=0.01, mismatch_frac=0.02, oov_frac=0.01, baddomain_frac=0.01,
+        num_partitions=8,
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def result(tokens):
+    r = validate_tokens(tokens, domain=DOMAIN, distinct_mode="exact",
+                        quantile_mode="nearest")
+    yield r
+    r.unpersist()
+
+
+def _sorted(pdf, cols):
+    return pdf.sort_values(cols).reset_index(drop=True)
+
+
+def test_verdicts_match_standalone(tokens, result):
+    standalone, _ = evaluate_constraints(
+        tokens,
+        "source",
+        [
+            UniqueConstraint(name="unique_doc_id", column="doc_id"),
+            TokenArrayEquality(),
+            MembershipConstraint(name="source_membership", column="source", domain=DOMAIN),
+            VocabBoundsConstraint(name="vocab_bounds", tokens_col="tokens", lo=0, hi=50257),
+        ],
+        key_column="doc_id",
+    )
+    a = _sorted(
+        result.verdicts.toPandas()
+        .replace({"constraint": {"token_array_equality": "eq"}}),
+        ["partition", "constraint"],
+    )
+    b = standalone.toPandas()
+    b["constraint"] = b["constraint"].replace(
+        {TokenArrayEquality().name: "eq"}
+    )
+    b = _sorted(b, ["partition", "constraint"])
+    assert (
+        a[["partition", "violation_count", "row_count", "passed"]].values.tolist()
+        == b[["partition", "violation_count", "row_count", "passed"]].values.tolist()
+    )
+
+
+def test_summary_matches_standalone(tokens, result):
+    s = summarize(
+        tokens, columns=["n_tok", "tokens", "doc_id"], partition_key="source",
+        distinct_mode="exact", quantile_mode="nearest", extras=True,
+    )
+    a = _sorted(result.summary.df.toPandas(), ["source", "column"])
+    b = _sorted(s.df.toPandas(), ["source", "column"])
+    assert a.equals(b)
+
+
+def test_violation_rows_and_drift_shape(tokens, result):
+    v = result.violations.toPandas()
+    total = result.verdicts.toPandas()["violation_count"].sum()
+    assert len(v) == total
+    d = result.drift.toPandas()
+    assert set(d.columns) == {"partition", "score", "score_percentile", "is_drifted"}
+    assert len(d) == tokens.select("source").distinct().count()
+    psi = result.distribution.toPandas()
+    assert len(psi) == len(d)

@@ -1,0 +1,214 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule requires throughput scaling efficiency >= 0.8 between N and 4N
+executors. This sandbox has one machine, so the two "cluster sizes" are
+local[8] and local[32] over the SAME generated token table (the
+driver-sanctioned proxy). Measurement protocol (the sandbox host is a
+shared Firecracker VM with bursty neighbor noise, and the first
+execution of each plan pays ~60-90 s of JIT/codegen):
+
+- the dataset is pre-read into the page cache (a cluster's data is
+  served from distributed storage, not one cold local disk);
+- input splits are 16 MB so local[32] gets ~128 scan tasks (the 64
+  generated files would otherwise coalesce to ~14 partitions under the
+  default 128 MB and cap parallelism below the core count);
+- each configuration runs in its own subprocess (fresh JVM): one full
+  warm-up pass, then ``TRIALS`` timed passes; the MIN is the capacity
+  estimate (noise is strictly additive), the median is also reported.
+
+The measured job is the full north-star validation pipeline
+(pipeline.validate_tokens): one-scan slim projection + summaries +
+4-constraint verdicts/violations + PSI/KS + kNN drift.
+
+Usage:
+  python tools/scaling_bench.py              # orchestrate both runs
+  python tools/scaling_bench.py --run 8      # one measured run (internal)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = os.environ.get("SPARK_GRAFT_SCALING_DATA", "/root/repo/.scratch/scaling_tokens")
+_DEFAULT_ROWS = {"parquet": "4000000", "generate": "16000000"}
+ROWS = int(
+    os.environ.get("SPARK_GRAFT_SCALING_ROWS")
+    or _DEFAULT_ROWS[os.environ.get("SPARK_GRAFT_SCALING_MODE", "parquet")]
+)
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+# parquet: scan-bound (single local disk / memory bus — a per-node
+#   hardware ceiling a real cluster does not share);
+# generate: compute-bound (deterministic in-memory token table —
+#   isolates executor-compute scaling).
+MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "parquet")
+SPLIT = "16m"
+
+
+def ensure_data() -> None:
+    if os.path.isdir(DATA) and os.path.exists(os.path.join(DATA, "_SUCCESS")):
+        return
+    from gate_spark.session import get_spark
+    from gate_spark.datagen import write_token_table
+
+    spark = get_spark("scaling_datagen", cores=32)
+    write_token_table(
+        spark, DATA, ROWS,
+        partition_by_source=False,  # keep file sizes balanced; skew lives in values
+        mismatch_frac=0.001, oov_frac=0.001, baddomain_frac=0.001, dup_frac=0.001,
+        num_partitions=64,
+    )
+    spark.stop()
+
+
+def precache() -> None:
+    for f in glob.glob(os.path.join(DATA, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
+def _input_df(spark):
+    if MODE == "generate":
+        from gate_spark.datagen import token_table
+
+        # deterministic & partitioning-invariant: identical input at
+        # every core count (test_checkpoint_datagen.py pins this)
+        return token_table(
+            spark, ROWS, num_partitions=256,
+            mismatch_frac=0.001, oov_frac=0.001,
+            baddomain_frac=0.001, dup_frac=0.001,
+        )
+    return spark.read.parquet(DATA)
+
+
+def validation_job(spark, df=None) -> int:
+    """The measured pipeline (one-scan orchestration, pipeline.py);
+    returns row count validated. Every output is fully materialized:
+    the summary + PSI/KS + drift verdicts are computed eagerly inside
+    validate_tokens (persisted summary / driver-side metadata math),
+    verdicts + violations are forced through the noop sink."""
+    from gate_spark.pipeline import validate_tokens
+
+    if df is None:
+        df = _input_df(spark)
+
+    def force(d):
+        d.write.format("noop").mode("overwrite").save()
+
+    r = validate_tokens(
+        df, domain=tuple(f"src{i}" for i in range(20)), compute_drift=True
+    )
+    force(r.verdicts)
+    force(r.violations)
+    n = ROWS
+    r.unpersist()
+    return n
+
+
+def measured_run(cores: int) -> None:
+    from gate_spark.session import get_spark
+
+    if MODE == "parquet":
+        precache()
+    spark = get_spark(
+        f"scaling_{cores}", cores=cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": SPLIT,
+            # every shuffle in this job is metadata-scale by design;
+            # AQE's per-stage re-planning is pure serial latency here
+            # (skew is handled by the engine's own salting/value-keyed
+            # aggregation, not by AQE, in this pipeline)
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    n = validation_job(spark)  # warm-up: JIT + codegen + page cache
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        validation_job(spark)
+        times.append(time.time() - t0)
+    times.sort()
+    best, median = times[0], times[len(times) // 2]
+    print(json.dumps({
+        "cores": cores, "rows": n, "mode": MODE,
+        "trials": [round(t, 2) for t in times],
+        "best_sec": round(best, 2), "median_sec": round(median, 2),
+        "best_rows_per_sec": round(n / best, 1),
+    }))
+    spark.stop()
+
+
+def single_trial(cores: int) -> None:
+    """One warm-up pass + ONE timed pass in a fresh JVM (used by the
+    interleaved protocol)."""
+    from gate_spark.session import get_spark
+
+    if MODE == "parquet":
+        precache()
+    spark = get_spark(
+        f"scaling_{cores}", cores=cores,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": SPLIT,
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    validation_job(spark)  # warm-up
+    t0 = time.time()
+    n = validation_job(spark)
+    dt = time.time() - t0
+    print(json.dumps({"cores": cores, "rows": n, "sec": round(dt, 2)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        measured_run(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--trial":
+        single_trial(int(sys.argv[2]))
+        return
+    if MODE == "parquet":
+        ensure_data()
+    # Interleave configurations (8, 32, 8, 32, ...) so this shared VM's
+    # bursty neighbor noise hits both core counts equally in
+    # expectation; the min per config estimates capacity (noise is
+    # strictly additive).
+    trials: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(TRIALS):
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--trial", str(cores)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            trials[cores].append(rec["sec"])
+            print(line)
+    t8, t32 = min(trials[8]), min(trials[32])
+    eff = t8 / (4 * t32)
+    summary = {
+        "rows": ROWS,
+        "mode": MODE,
+        "trials_local8": trials[8],
+        "trials_local32": trials[32],
+        "best_local8_sec": t8,
+        "best_local32_sec": t32,
+        "best_local8_rows_per_sec": round(ROWS / t8, 1),
+        "best_local32_rows_per_sec": round(ROWS / t32, 1),
+        "scaling_efficiency_4x": round(eff, 3),
+        "meets_north_rule_0.8": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open(f"/root/repo/.scratch/scaling_result_{MODE}.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

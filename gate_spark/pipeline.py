@@ -91,6 +91,7 @@ def validate_tokens(
     compute_drift: bool = True,
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.2,
+    truncate_lineage: bool = False,
 ) -> TokenValidationResult:
     """One-scan validation of a (doc_id, tokens, n_tok, source) table.
 
@@ -124,7 +125,16 @@ def validate_tokens(
         f_vocab.alias("_f_vocab"),
         F.when(f_vocab, F.array_min(tokens)).alias("_vmin"),
         F.when(f_vocab, F.array_max(tokens)).alias("_vmax"),
-    ).persist()
+    )
+    if truncate_lineage:
+        # cut the upstream logical plan: every downstream action would
+        # otherwise re-analyze the full input lineage on the driver
+        # (pure serial time when the input is a deep expression tree or
+        # long job chain). On a cluster this is "write slim to a
+        # scratch table"; locally localCheckpoint is the equivalent.
+        slim = slim.localCheckpoint(eager=True)
+    else:
+        slim = slim.persist()
 
     # uniqueness: groupBy on the slim frame, broadcast the (rare) dupes
     dupes = (

@@ -103,7 +103,8 @@ def validation_job(spark, df=None) -> int:
         d.write.format("noop").mode("overwrite").save()
 
     r = validate_tokens(
-        df, domain=tuple(f"src{i}" for i in range(20)), compute_drift=True
+        df, domain=tuple(f"src{i}" for i in range(20)), compute_drift=True,
+        truncate_lineage=True,
     )
     force(r.verdicts)
     force(r.violations)

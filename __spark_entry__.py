@@ -312,23 +312,34 @@ def q_summarize_tokens(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """The LSH scale path (not brute force): banded sign-LSH buckets +
+    exact cosine verification, with an md5-hash twin in the oracle."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.where(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     view = emb.unionByName(dups)
     out = dd.embedding_near_duplicates(
-        view, "vec_id", "embedding", threshold=0.99, brute_force=True
+        view,
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        num_planes=8,
+        num_bands=4,
+        hash_mode="md5",
     )
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (scale path of knn_cosine). No SQL oracle:
-    centroids come from a driver-side k-means — the driver records the
-    rows-only check; exactness is pinned by test_similarity_text.py's
-    recall assertion against the brute-force oracle-checked query."""
+    """IVF approximate top-k (scale path of knn_cosine), made
+    oracle-checkable by fixing deterministic centroids: cell j is the
+    embedding of seed vector vec_id=j (the trained-k-means path is
+    pinned separately by test_similarity_text.py's recall test)."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("vec")
+    )
     return sim.ivf_topk(
         emb,
         emb.where(F.col("vec_id") < 5),
@@ -337,8 +348,8 @@ def q_ann_ivf(spark, sf_dir):
         query_id="vec_id",
         query_vec="embedding",
         k=5,
-        num_cells=8,
         nprobe=4,
+        centroids=cents,
     ).select("query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
@@ -441,6 +452,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": oracles.knn_cosine_sql(5, 5),
         "embedding_dims": oracles.embedding_dims_sql(64),
         "summarize_tokens": oracles.token_summary_sql(),
-        "embedding_near_dup": oracles.embedding_near_dup_sql(0.99),
+        "embedding_near_dup": oracles.embedding_near_dup_sql(
+            0.99, num_planes=8, num_bands=4
+        ),
+        "ann_ivf": oracles.ann_ivf_sql(k=5, num_queries=5, num_cells=8, nprobe=4),
         "trailing_zscore_events": oracles.trailing_zscore_events_sql(7),
     }

@@ -102,10 +102,12 @@ class UniqueConstraint(Constraint):
             .where(F.col("_dup_cnt") > 1)
             .select(self.column, "_dup_cnt")
         )
-        # duplicated keys are expected to be rare -> broadcast them;
-        # AQE falls back to shuffle join if the estimate blows up.
+        # duplicated keys are *usually* rare, but unbounded (a wholesale
+        # re-ingestion makes them ~N rows) — no broadcast hint; AQE
+        # picks broadcast when the built side is actually small and
+        # falls back to a shuffle join when it is not.
         flag_name = _flag_col(self.name)
-        return df.join(F.broadcast(dupes), self.column, "left").withColumn(
+        return df.join(dupes, self.column, "left").withColumn(
             flag_name, F.col("_dup_cnt").isNotNull()
         ).drop("_dup_cnt")
 

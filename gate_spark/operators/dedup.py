@@ -15,8 +15,9 @@ path):
 
 Scale notes (100 TB):
 - every candidate-pair generator bounds bucket fan-out (a bucket with
-  B members yields B^2 pairs — ``max_bucket_size`` caps it and the cap
-  is logged, never silent);
+  B members yields B^2 pairs — ``max_bucket_size`` caps it; pass an
+  ``observation=`` to count dropped bucket memberships after an
+  action, so the drop is measurable, not silent);
 - hashes default to ``xxhash64`` (JVM, one instruction per row);
   ``hash_mode="md5"`` derives hashes from md5 hex so a DuckDB oracle
   can reproduce them bit-for-bit (correctness gate only — md5 is ~10x
@@ -65,10 +66,13 @@ def exact_duplicates(
     """Rows whose content appears more than once: (id, group_size).
 
     One groupBy on the content hash (map-side partial counts), then a
-    join of the (rare) duplicated hashes back — mirrors the uniqueness
-    constraint plan (constraints.py UniqueConstraint). Hash collisions:
-    xxhash64 at 2^64 makes false groups negligible; pass
-    ``hash_mode="md5"`` for the oracle-checked variant.
+    join of the duplicated hashes back — mirrors the uniqueness
+    constraint plan (constraints.py UniqueConstraint). The join strategy
+    is left to AQE: duplicate sets are *usually* tiny (broadcast), but a
+    wholesale re-ingestion can make them ~N rows, and a forced broadcast
+    hint would turn that data-quality incident into a driver OOM.
+    Hash collisions: xxhash64 at 2^64 makes false groups negligible;
+    pass ``hash_mode="md5"`` for the oracle-checked variant.
     """
     h = _hash64(F.col(text_col), 0, hash_mode).alias("_h")
     hashed = df.select(F.col(id_col), h)
@@ -78,7 +82,7 @@ def exact_duplicates(
         .where(F.col("group_size") > 1)
     )
     return (
-        hashed.join(F.broadcast(groups), "_h")
+        hashed.join(groups, "_h")
         .select(id_col, "group_size")
     )
 
@@ -135,8 +139,13 @@ def lsh_candidate_pairs(
     Each band's slice of the signature is a bucket key; the self-join is
     per (band, bucket) so only same-bucket pairs materialize. Buckets
     larger than ``max_bucket_size`` are dropped (degenerate content —
-    e.g. empty docs — would otherwise square); the drop is observable
-    via the returned plan, and callers can raise the cap.
+    e.g. empty docs — would otherwise square). The drop is measurable,
+    not silent: the returned DataFrame carries a lazy diagnostic
+    ``result.dropped_bucket_members`` — the (id, band, bucket,
+    bucket_size) rows excluded by the cap; count it to audit a run.
+    (A ``df.observe`` metric was rejected: AQE's empty-relation
+    propagation can prune the CollectMetrics node when every bucket is
+    dropped, which is precisely when the signal matters.)
     """
     bands = sig_df.select(
         id_col,
@@ -159,13 +168,16 @@ def lsh_candidate_pairs(
         ).alias("_bb"),
     ).select(id_col, "_bb.band", "_bb.bucket")
     w = Window.partitionBy("band", "bucket")
-    bounded = bands.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
-        F.col("_bsz") <= max_bucket_size
-    )
+    sized = bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    bounded = sized.where(F.col("_bsz") <= max_bucket_size)
     left = bounded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = bounded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = left.join(right, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
-    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+    out = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
+    out.dropped_bucket_members = sized.where(
+        F.col("_bsz") > max_bucket_size
+    ).select(id_col, "band", "bucket", F.col("_bsz").alias("bucket_size"))
+    return out
 
 
 def minhash_estimated_jaccard(
@@ -203,7 +215,16 @@ def minhash_dedup(
     max_bucket_size: int = 1000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-duplicate pairs:
-    (id_a, id_b, n_bands, est_jaccard) with est_jaccard >= threshold."""
+    (id_a, id_b, n_bands, est_jaccard) with est_jaccard >= threshold.
+
+    Diagnostics on the result DataFrame:
+    - ``result.minhash_signatures`` — the persisted signature table;
+      callers that materialize the pairs should unpersist it afterwards
+      (or the cached blocks live until the session ends). On a cluster
+      this would be a scratch-table write instead of a cache.
+    - ``result.dropped_bucket_members`` — lazy audit of (id, band,
+      bucket, bucket_size) rows excluded by ``max_bucket_size``.
+    """
     assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
     rows_per_band = num_perm // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_size, hash_mode)
@@ -213,7 +234,10 @@ def minhash_dedup(
     sigs = sigs.persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, max_bucket_size)
     est = minhash_estimated_jaccard(sigs, pairs, id_col, num_perm)
-    return est.where(F.col("est_jaccard") >= F.lit(threshold))
+    out = est.where(F.col("est_jaccard") >= F.lit(threshold))
+    out.minhash_signatures = sigs
+    out.dropped_bucket_members = pairs.dropped_bucket_members
+    return out
 
 
 def simhash(
@@ -264,8 +288,14 @@ def ngram_jaccard_pairs(
     Candidates share >= 1 gram. Grams appearing in more than
     ``max_gram_df`` docs are excluded from candidate *generation* (a
     stopword-gram joins everything to everything) but, to keep Jaccard
-    exact, NOT from the per-doc set sizes — the similarity is computed
-    over the full gram sets of the surviving pairs via a second join.
+    exact, NOT from the intersection — each candidate doc's FULL gram
+    set is gathered once (``collect_set`` over docs semi-joined down to
+    candidate ids) and the exact intersection is ``array_intersect`` on
+    the pair table. No stage ever self-joins the full gram table: the
+    only self-join is on *rare* grams (df <= max_gram_df bounds its
+    fan-out), and everything downstream is linear in candidates — a
+    stopword gram present in millions of docs costs one groupBy row,
+    not 10^12 join rows.
     """
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
@@ -279,24 +309,42 @@ def ngram_jaccard_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_common_rare"))
+        .select("id_a", "id_b")
     )
-    # exact intersection over FULL gram sets for surviving pairs
-    full_common = (
-        grams.select(F.col(id_col).alias("id_a"), "_g")
-        .join(grams.select(F.col(id_col).alias("id_b"), "_g"), "_g")
-        .join(common.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_common"))
+    # exact intersection over FULL gram sets, but ONLY for candidate
+    # docs: semi-join grams down to ids that appear in >=1 pair, gather
+    # each one's gram set once, then array_intersect on the pair table.
+    cand_ids = (
+        common.select(F.col("id_a").alias(id_col))
+        .unionByName(common.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_grams = (
+        grams.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_g").alias("_gs"))
     )
     out = (
-        full_common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        common.join(
+            cand_grams.select(F.col(id_col).alias("id_a"), F.col("_gs").alias("_ga")),
+            "id_a",
+        )
+        .join(
+            cand_grams.select(F.col(id_col).alias("id_b"), F.col("_gs").alias("_gb")),
+            "id_b",
+        )
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("_common").cast("double")
-                / (F.col("_sa") + F.col("_sb") - F.col("_common"))
+                F.size(F.array_intersect("_ga", "_gb")).cast("double")
+                / (
+                    F.col("_sa")
+                    + F.col("_sb")
+                    - F.size(F.array_intersect("_ga", "_gb"))
+                )
             ).alias("jaccard"),
         )
     )
@@ -309,57 +357,115 @@ def embedding_near_duplicates(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int = 16,
+    num_bands: int = 4,
     hash_mode: str = "xxhash",
     brute_force: bool = False,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column:
     (id_a, id_b, cosine) with cosine >= threshold.
 
-    Scale path: sign-LSH — each vector is bucketed by the sign pattern
-    of ``num_planes`` pseudo-random hyperplanes (deterministic planes
-    derived from seeded hashes of the dimension index), self-join per
-    bucket, exact cosine verification on candidates. Near-identical
-    vectors share all signs with high probability. ``brute_force=True``
-    skips bucketing (oracle/small-data mode).
+    Scale path: banded sign-LSH — per band, a vector is bucketed by the
+    sign pattern of ``num_planes`` deterministic pseudo-random
+    hyperplanes; candidates are the union over bands of same-bucket
+    pairs, exact-cosine-verified. ``num_bands`` independent signatures
+    trade compute for recall exactly like MinHash banding: a pair with
+    cosine c collides per band with prob (1 - acos(c)/pi)^num_planes,
+    and misses only if all bands miss. Identical vectors always share
+    every bucket.
+
+    Scale knobs (100 TB):
+    - candidate volume ~ n^2 * num_bands / 2^num_planes for unrelated
+      vectors, so ``num_planes`` should grow ~log2(n): 16 planes is
+      sized for ~10^5-10^6 rows; use 24-30 at 10^8-10^9.
+    - ``max_bucket_size`` caps degenerate buckets (e.g. zero vectors)
+      — members of larger buckets generate NO pairs; the exclusions
+      are auditable via the lazy ``result.dropped_bucket_members``
+      DataFrame (empty in brute-force mode).
+
+    ``brute_force=True`` skips bucketing (exact; oracle/small-data
+    mode).
     """
     from gate_spark.operators.similarity import cosine_expr
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dropped = None
     if brute_force:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         bucketed = df.select(
-            F.col(id_col), _signature_bucket(F.col(vec_col), num_planes, hash_mode).alias("_bkt")
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            _signature_bucket(
+                                F.col(vec_col), band, num_planes, hash_mode
+                            ).alias("bucket"),
+                        )
+                        for band in range(num_bands)
+                    ]
+                )
+            ).alias("_bb"),
+        ).select(id_col, "_bb.band", "_bb.bucket")
+        w = Window.partitionBy("band", "bucket")
+        sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        dropped = sized.where(F.col("_bsz") > max_bucket_size).select(
+            id_col, "band", "bucket", F.col("_bsz").alias("bucket_size")
         )
+        bounded = sized.where(F.col("_bsz") <= max_bucket_size)
         cand = (
-            bucketed.select(F.col(id_col).alias("id_a"), "_bkt")
-            .join(bucketed.select(F.col(id_col).alias("id_b"), "_bkt"), "_bkt")
+            bounded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                bounded.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
+            .distinct()
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     out = pairs.select("id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
-    return out.where(F.col("cosine") >= F.lit(threshold))
+    out = out.where(F.col("cosine") >= F.lit(threshold))
+    out.dropped_bucket_members = (
+        dropped
+        if dropped is not None
+        else df.select(
+            F.col(id_col),
+            F.lit(0).alias("band"),
+            F.lit("").alias("bucket"),
+            F.lit(0).cast("long").alias("bucket_size"),
+        ).limit(0)
+    )
+    return out
 
 
-def _signature_bucket(vec: Column, num_planes: int, hash_mode: str) -> Column:
-    """Sign-LSH bucket key: for plane p, weight of dimension i is a
-    deterministic hash of (p, i) mapped to [-1, 1); the bucket bit is
-    the sign of the dot product. Pure codegen via aggregate over the
-    vector with a position zip."""
+def _signature_bucket(vec: Column, band: int, num_planes: int, hash_mode: str) -> Column:
+    """Sign-LSH bucket key for one band: for plane p, the weight of
+    dimension i is a deterministic hash of (band, p, i) mapped to the
+    SYMMETRIC range [-1, 1) via ``pmod`` (plain ``%`` keeps the sign of
+    a negative xxhash64, which would bias weights negative); the bucket
+    bit is the sign of the dot product. The fold is a sequential
+    ``aggregate`` over the vector — bit-reproducible in a SQL oracle's
+    ``list_sum(list_transform(range(dim), ...))``."""
     dims = F.transform(vec, lambda x, i: F.struct(x.alias("v"), i.alias("i")))
     bits = []
     for p in range(num_planes):
-        w = lambda i, _p=p: (
-            _hash64(i.cast("string"), 1000 + _p, hash_mode).cast("double")
-            % 2000001 / 1000000.0 - 1.0
+        seed = 1000 + band * num_planes + p
+        w = lambda i, _s=seed: (
+            F.pmod(_hash64(i.cast("string"), _s, hash_mode), F.lit(2000001)).cast(
+                "double"
+            )
+            / 1000000.0
+            - 1.0
         )
         dot = F.aggregate(
             dims,
             F.lit(0.0),
             lambda acc, s: acc + s["v"].cast("double") * w(s["i"]),
         )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
-    return F.concat_ws("", *bits)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

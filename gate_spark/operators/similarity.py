@@ -12,6 +12,7 @@ path; the centroid table is broadcast.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,29 +104,33 @@ def train_ivf_centroids(
     return cents
 
 
-def _nearest_cells(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
-    """Array of the ``nprobe`` nearest centroid ids — a codegen'd
-    expression tree over the (broadcast-as-literals) centroid matrix."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(v)) for v in centroids[j]]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(j).alias("cell"),
-            )
-            for j in range(len(centroids))
-        ]
-    )
-    return F.transform(
-        F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"]
-    )
+def _nearest_cells_udf(spark, centroids: np.ndarray, nprobe: int):
+    """Vectorized (Arrow-batched) nearest-cell assignment against a
+    broadcast centroid matrix. Replaces the old literal-expression-tree
+    formulation: the plan no longer carries O(num_cells x dim) literals,
+    so ``num_cells`` can reach the ~sqrt(N) thousands a real IVF index
+    needs — the matrix ships once per executor via a Spark broadcast
+    and each Arrow batch is one (batch x dim) @ (dim x cells) matmul.
+
+    Determinism: float64 math, stable argsort, ties broken by lower
+    cell id — reproducible by a SQL oracle's ORDER BY dist, cell.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    take = max(1, nprobe)
+
+    @pandas_udf("array<int>")
+    def nearest(v: pd.Series) -> pd.Series:
+        cents = bc.value
+        x = np.array(v.tolist(), dtype=np.float64)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; the ||x||^2 term is
+        # constant per row and cannot change the argsort -> omit it.
+        d = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :take].astype("int32")
+        return pd.Series([list(r) for r in idx])
+
+    return nearest
 
 
 def ivf_topk(
@@ -139,22 +144,35 @@ def ivf_topk(
     k: int = 10,
     num_cells: int = 16,
     nprobe: int = 2,
-    centroids: np.ndarray | None = None,
+    centroids: np.ndarray | DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells: corpus rows are joined
     only against queries probing their cell. Same output schema as
-    :func:`cosine_topk`."""
+    :func:`cosine_topk`.
+
+    ``centroids`` may be a (cells x dim) numpy array, a DataFrame with
+    columns (cell:int, vec:array) — collected driver-side in cell
+    order; centroid tables are metadata-scale by construction — or
+    None to train k-means on a corpus sample. Cell ids are row indices
+    0..C-1.
+    """
+    spark = corpus.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(corpus, corpus_vec, num_cells)
+    elif isinstance(centroids, DataFrame):
+        rows = centroids.orderBy("cell").collect()
+        centroids = np.array([r["vec"] for r in rows], dtype=np.float64)
+    corpus_cell = _nearest_cells_udf(spark, centroids, 1)
+    query_cells = _nearest_cells_udf(spark, centroids, nprobe)
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("_cv"),
-        _nearest_cells(F.col(corpus_vec), centroids, 1)[0].alias("cell"),
+        F.element_at(corpus_cell(F.col(corpus_vec)), 1).alias("cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("_qv"),
-        F.explode(_nearest_cells(F.col(query_vec), centroids, nprobe)).alias("cell"),
+        F.explode(query_cells(F.col(query_vec))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")

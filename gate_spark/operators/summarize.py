@@ -111,6 +111,13 @@ class Summary:
         rows = self.df.select(self.partition_key).distinct().orderBy(self.partition_key).collect()
         return [r[0] for r in rows]
 
+    def unpersist(self) -> None:
+        """Release the cached summary table (summarize() persists it:
+        the table is metadata-scale, but its lineage is the full input
+        aggregation — without the cache every consumer action, e.g.
+        partitions() then detect_drift's collect, re-scans the input)."""
+        self.df.unpersist()
+
     def value(self, partition=None):
         """Summary rows as pandas, optionally for one partition
         (mirrors Summary.value(), gate/summary.py:45-60)."""
@@ -235,6 +242,13 @@ def summarize(
     out = out.select(
         partition_key, "column", *[F.col(s).cast("float").alias(s) for s in stats_order]
     )
+    # the summary table is metadata-scale (partitions x columns rows)
+    # but its lineage is the full input aggregation: persist so the
+    # usual consumer sequence (partitions() -> drift collect -> value())
+    # pays for ONE scan of the raw table, not one per action. At 300
+    # summarized columns this is a >2x end-to-end saving; release via
+    # Summary.unpersist().
+    out = out.persist()
     return Summary(
         df=out,
         partition_key=partition_key,
@@ -371,6 +385,10 @@ def _scalar_summary(
     # an explode over per-column structs — this happens on the already
     # aggregated (metadata-scale) result, not on raw data.
     stats_order = list(GATE_STATISTICS) + (list(EXTRA_STATISTICS) if extras else [])
+    # .columns analyzes the (very wide) aggregate plan through py4j —
+    # fetch ONCE, not inside the per-column/per-stat loop (at 300
+    # columns the repeated fetch dominated plan-construction time).
+    agged_cols = set(agged.columns)
     structs = []
     for i, c in enumerate(cols):
         available = set(TYPE_TO_STATISTICS[column_types[c]])
@@ -385,7 +403,7 @@ def _scalar_summary(
                     if c in needs_numeric
                     else F.lit(None).cast("double")
                 )
-            elif name in agged.columns:
+            elif name in agged_cols:
                 src = F.col(name).cast("double")
             else:
                 src = F.lit(None).cast("double")

@@ -511,10 +511,41 @@ UNION ALL
 SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0"""
 
 
-def embedding_near_dup_sql(threshold: float = 0.99) -> str:
-    """Twin of embedding_near_duplicates(brute_force=True) on the
-    dup-injected embeddings view."""
-    dot = (
+def embedding_near_dup_sql(
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    num_bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """Twin of embedding_near_duplicates (banded sign-LSH path,
+    hash_mode='md5') on the dup-injected embeddings view: reproduces the
+    plane weights (md5-derived, pmod to [-1,1)), the per-band sign
+    buckets, the same-bucket candidate union, and the exact-cosine
+    verification — dedup.py:_signature_bucket."""
+
+    def w(seed: int) -> str:
+        h = _md5h(f"concat('{seed}|', CAST(i AS VARCHAR))")
+        return f"(({h}) % 2000001) / 1000000.0 - 1.0"
+
+    def dot(band: int, p: int) -> str:
+        seed = 1000 + band * num_planes + p
+        return (
+            f"list_sum(list_transform(range({dim}), "
+            f"i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * ({w(seed)})))"
+        )
+
+    def bucket(band: int) -> str:
+        bits = ", ".join(
+            f"CASE WHEN ({dot(band, p)}) >= 0 THEN '1' ELSE '0' END"
+            for p in range(num_planes)
+        )
+        return f"concat({bits})"
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket FROM e"
+        for b in range(num_bands)
+    )
+    cdot = (
         "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
         " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     )
@@ -522,10 +553,58 @@ def embedding_near_dup_sql(threshold: float = 0.99) -> str:
         "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     return f"""WITH e AS ({EMB_DUP_VIEW}),
-scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    {dot} / ({nrm.format(v='a.embedding')} * {nrm.format(v='b.embedding')}) AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+buckets AS ({band_selects}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (SELECT cand.id_a, cand.id_b,
+    {cdot} / ({nrm.format(v='a.embedding')} * {nrm.format(v='b.embedding')}) AS cos
+  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b)
 SELECT id_a, id_b, {_f6('cos')} AS cosine FROM scored WHERE cos >= {threshold}"""
+
+
+def ann_ivf_sql(
+    k: int = 5, num_queries: int = 5, num_cells: int = 8, nprobe: int = 4
+) -> str:
+    """Twin of ivf_topk with deterministic seed-vector centroids
+    (cell j = embedding of vec_id j): nearest-cell assignment by
+    squared L2 (ties -> lower cell), queries probe their ``nprobe``
+    nearest cells, cosine verified on cell-joined candidates."""
+    sqd = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cv), p ->"
+        " (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cv
+               FROM embeddings WHERE vec_id < {num_cells}),
+d AS (SELECT e.vec_id, c.cell, {sqd} AS dist FROM embeddings e CROSS JOIN cents c),
+cc AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d) WHERE rn = 1),
+qc AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d WHERE vec_id < {num_queries}) WHERE rn <= {nprobe}),
+scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    {dot} / ({nrm.format(v='q.embedding')} * {nrm.format(v='c.embedding')}) AS cos
+  FROM embeddings c
+  JOIN cc ON c.vec_id = cc.vec_id
+  JOIN qc ON cc.cell = qc.cell
+  JOIN embeddings q ON q.vec_id = qc.vec_id
+  WHERE c.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, cos,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, {_f6('cos')} AS cosine, CAST(rnk AS INTEGER) AS rank
+FROM r WHERE rnk <= {k}"""
 
 
 def embedding_dims_sql(dim: int = 64) -> str:

@@ -46,8 +46,15 @@ def _psi_ks_driver(hist, spark, psi_threshold: float, ks_threshold: float):
         gbin = mat.sum(axis=0, keepdims=True)
         gtot = mat.sum()
         for i, part in enumerate(pivot.index):
+            holdout = gtot - totals[i][0]
+            if holdout <= 0:
+                # single partition (or one partition holds every row):
+                # there is no holdout distribution to compare against —
+                # report zero drift instead of NaN/inf from 0/0.
+                rows.append((str(part), 0.0, 0.0, False, False))
+                continue
             p = np.maximum(mat[i] / totals[i], 1e-6)
-            q = np.maximum((gbin[0] - mat[i]) / (gtot - totals[i][0]), 1e-6)
+            q = np.maximum((gbin[0] - mat[i]) / holdout, 1e-6)
             psi_v = float(((p - q) * np.log(p / q)).sum())
             ks_v = float(np.abs(np.cumsum(p) - np.cumsum(q)).max())
             rows.append(
@@ -136,13 +143,15 @@ def validate_tokens(
     else:
         slim = slim.persist()
 
-    # uniqueness: groupBy on the slim frame, broadcast the (rare) dupes
+    # uniqueness: groupBy on the slim frame; the dupes side is usually
+    # tiny but unbounded — let AQE choose broadcast vs shuffle rather
+    # than forcing a broadcast that OOMs on a mass re-ingestion.
     dupes = (
         slim.groupBy("_key")
         .agg(F.count(F.lit(1)).alias("_dup"))
         .where(F.col("_dup") > 1)
     )
-    flagged = slim.join(F.broadcast(dupes), "_key", "left").withColumn(
+    flagged = slim.join(dupes, "_key", "left").withColumn(
         "_f_unique", F.col("_dup").isNotNull()
     )
 
@@ -223,9 +232,8 @@ def validate_tokens(
         extras=True,
         accuracy=accuracy,
     )
-    # the summary is metadata-scale but its DAG re-aggregates slim on
-    # every action — persist so drift / callers' forces reuse one run
-    summary.df = summary.df.persist()
+    # summarize() persists the metadata-scale summary table itself, so
+    # drift / callers' repeated actions reuse one aggregation run.
 
     # PSI/KS: equi-width bin edges from the summary's own min/max (no
     # extra pass over data), ONE histogram aggregation over slim, then

@@ -62,6 +62,7 @@ def bench_queries(spark):
             distinct_mode="approx", quantile_mode="approx", extras=True,
         )
         _force(s.df)
+        s.unpersist()
 
     def q_token_validation():
         from gate_spark.pipeline import validate_tokens
@@ -89,17 +90,18 @@ def bench_queries(spark):
             distinct_mode="approx", quantile_mode="approx",
         )
         _force(drift_scores(s, k=3))
+        s.unpersist()
 
     def q_psi_ks():
         _force(distribution_drift(t("lineitem"), "l_returnflag", "l_quantity"))
 
     def q_dedup_minhash():
-        _force(
-            dd.minhash_dedup(
-                t("documents"), "doc_id", "text",
-                num_perm=32, num_bands=8, threshold=0.7, hash_mode="xxhash",
-            )
+        pairs = dd.minhash_dedup(
+            t("documents"), "doc_id", "text",
+            num_perm=32, num_bands=8, threshold=0.7, hash_mode="xxhash",
         )
+        _force(pairs)
+        pairs.minhash_signatures.unpersist()
 
     def q_knn():
         emb = t("embeddings")

@@ -37,6 +37,14 @@ from gate_spark.operators.drift import DriftResult, detect_drift, drift_scores
 from gate_spark.operators.distribution import distribution_drift, ks_statistic, psi
 from gate_spark.pipeline import TokenValidationResult, validate_tokens
 from gate_spark.session import get_spark
+from gate_spark.iceberg import (
+    current_snapshot_id,
+    find_iceberg_jar,
+    iceberg_available,
+    iceberg_session_conf,
+    parquet_snapshot_stamp,
+    read_table,
+)
 
 __all__ = [
     "GATE_STATISTICS",
@@ -60,6 +68,12 @@ __all__ = [
     "TokenValidationResult",
     "validate_tokens",
     "get_spark",
+    "current_snapshot_id",
+    "find_iceberg_jar",
+    "iceberg_available",
+    "iceberg_session_conf",
+    "parquet_snapshot_stamp",
+    "read_table",
 ]
 
 __version__ = "0.1.0"

@@ -247,8 +247,10 @@ def summarize(
     # usual consumer sequence (partitions() -> drift collect -> value())
     # pays for ONE scan of the raw table, not one per action. At 300
     # summarized columns this is a >2x end-to-end saving; release via
-    # Summary.unpersist().
-    out = out.persist()
+    # Summary.unpersist(). (Streaming inputs cannot persist — the
+    # streaming path in streaming.py has its own incremental topology.)
+    if not df.isStreaming:
+        out = out.persist()
     return Summary(
         df=out,
         partition_key=partition_key,

@@ -353,6 +353,36 @@ def q_ann_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
+SKETCH_EDGES = [100.0, 300.0, 1000.0, 3000.0]
+
+
+def q_sketch_merge(spark, sf_dir):
+    """Mergeable sketch state (north-rule lineage payload): per-source
+    sketches of documents merged to GLOBAL stats — exactly-mergeable
+    moments plus the merged fixed-edge histogram of n_chars exploded to
+    (bin, bin_count) rows. Validates that resume-from-checkpoint
+    rebuilds global statistics correctly (gate_spark/sketches.py)."""
+    from gate_spark import sketches as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    skt = sk.column_sketches(
+        docs, ["n_chars", "lang"], "source",
+        hist_edges={"n_chars": SKETCH_EDGES},
+    )
+    m = sk.merge_sketches(skt)
+    return m.select(
+        "column",
+        F.col("rows").alias("n_rows"),
+        "n",
+        _r6(F.col("coverage")).alias("coverage"),
+        _r6(F.col("mean")).alias("mean"),
+        _r6(F.col("stddev")).alias("stddev"),
+        _r6(F.col("min")).alias("min_v"),
+        _r6(F.col("max")).alias("max_v"),
+        F.posexplode_outer("hist").alias("bin", "bin_count"),
+    )
+
+
 def q_trailing_zscore_events(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -412,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_tokens": q_summarize_tokens,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
+        "sketch_merge": q_sketch_merge,
         "trailing_zscore_events": q_trailing_zscore_events,
     }
 
@@ -456,5 +487,6 @@ def oracle_sql() -> dict[str, str]:
             0.99, num_planes=8, num_bands=4
         ),
         "ann_ivf": oracles.ann_ivf_sql(k=5, num_queries=5, num_cells=8, nprobe=4),
+        "sketch_merge": oracles.sketch_merge_sql(SKETCH_EDGES),
         "trailing_zscore_events": oracles.trailing_zscore_events_sql(7),
     }

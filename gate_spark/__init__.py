@@ -37,6 +37,19 @@ from gate_spark.operators.drift import DriftResult, detect_drift, drift_scores
 from gate_spark.operators.distribution import distribution_drift, ks_statistic, psi
 from gate_spark.pipeline import TokenValidationResult, validate_tokens
 from gate_spark.session import get_spark
+from gate_spark.sketches import (
+    column_sketches,
+    merge_sketches,
+    quantiles_from_hist,
+    sketches_from_json,
+    sketches_to_json,
+)
+from gate_spark.checkpoint import (
+    CheckpointStore,
+    merged_stats_from_lineage,
+    resumable_run,
+    spec_hash,
+)
 from gate_spark.iceberg import (
     current_snapshot_id,
     find_iceberg_jar,
@@ -68,6 +81,15 @@ __all__ = [
     "TokenValidationResult",
     "validate_tokens",
     "get_spark",
+    "column_sketches",
+    "merge_sketches",
+    "quantiles_from_hist",
+    "sketches_from_json",
+    "sketches_to_json",
+    "CheckpointStore",
+    "merged_stats_from_lineage",
+    "resumable_run",
+    "spec_hash",
     "current_snapshot_id",
     "find_iceberg_jar",
     "iceberg_available",

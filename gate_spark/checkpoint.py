@@ -6,15 +6,23 @@ Python objects the caller must carry (gate/summarize.py:54). At
 survive restarts, so each partition's completion is recorded as an
 append-only lineage row:
 
-    (run_spec, partition, snapshot_id, status, metrics_json, ts)
+    (run_spec, partition, partition_spec, snapshot_id, status,
+     sketch_json, metrics_json, ts)
 
 - ``run_spec`` is a stable hash of the validation spec (columns,
   constraints, thresholds): changing the spec invalidates prior
   checkpoints automatically;
 - ``snapshot_id`` is the input snapshot stamp (Iceberg snapshot id
-  when available; caller-provided run stamp for plain parquet), so a
-  partition re-validates when its data changes but is skipped when
-  only the run restarted;
+  when available; ``iceberg.current_snapshot_id`` content stamp for
+  plain parquet), so a partition re-validates when its data changes
+  but is skipped when only the run restarted;
+- ``partition_spec`` records HOW the input was partitioned when the
+  row was committed (e.g. ``source=src3``) — an Iceberg-style spec
+  string so spec evolution invalidates nothing silently;
+- ``sketch_json`` carries the partition's mergeable sketch state
+  (moments + HLL + histogram, see gate_spark/sketches.py): a resumed
+  run rebuilds GLOBAL statistics from lineage alone — zero rescan of
+  completed partitions;
 - the store itself is a parquet directory (Iceberg table in
   production — the API takes a path either way) of metadata-scale
   rows; appends are atomic per file, and duplicate completion rows
@@ -42,8 +50,10 @@ LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_spec", T.StringType(), False),
         T.StructField("partition", T.StringType(), False),
+        T.StructField("partition_spec", T.StringType(), True),
         T.StructField("snapshot_id", T.StringType(), False),
         T.StructField("status", T.StringType(), False),
+        T.StructField("sketch_json", T.StringType(), True),
         T.StructField("metrics_json", T.StringType(), True),
         T.StructField("ts", T.DoubleType(), False),
     ]
@@ -106,15 +116,25 @@ class CheckpointStore:
         run_spec: str,
         snapshot_id: str,
         metrics: dict[str, dict] | None = None,
+        *,
+        partition_spec: str | None = None,
+        sketches: dict[str, str] | None = None,
     ) -> None:
-        """Append completion rows (one atomic parquet file per call)."""
+        """Append completion rows (one atomic parquet file per call).
+
+        ``sketches`` maps partition -> sketch_json payload
+        (sketches.sketches_to_json); ``partition_spec`` records the
+        input partitioning (e.g. ``"source"``) at commit time.
+        """
         now = time.time()
         rows = [
             (
                 run_spec,
                 str(p),
+                partition_spec,
                 snapshot_id,
                 "completed",
+                (sketches or {}).get(str(p)),
                 json.dumps((metrics or {}).get(str(p), {})),
                 now,
             )
@@ -122,6 +142,26 @@ class CheckpointStore:
         ]
         df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def sketch_state(self, run_spec: str, snapshot_id: str) -> dict[str, str]:
+        """Latest committed sketch_json per partition for (run_spec,
+        snapshot_id) — input to ``sketches.sketches_from_json`` for the
+        no-rescan global-stats resume path."""
+        df = self._read()
+        if df is None:
+            return {}
+        rows = (
+            df.where(
+                (F.col("run_spec") == run_spec)
+                & (F.col("snapshot_id") == snapshot_id)
+                & (F.col("status") == "completed")
+                & F.col("sketch_json").isNotNull()
+            )
+            .groupBy("partition")
+            .agg(F.max_by("sketch_json", "ts").alias("sketch_json"))
+            .collect()
+        )
+        return {r["partition"]: r["sketch_json"] for r in rows}
 
     def lineage(self) -> DataFrame:
         df = self._read()
@@ -138,6 +178,8 @@ def resumable_run(
     snapshot_id: str,
     per_partition_job,
     partitions: list[str] | None = None,
+    sketch_columns: list[str] | None = None,
+    hist_edges: dict[str, list[float]] | None = None,
 ) -> list[str]:
     """Drive ``per_partition_job(partition_df, partition)`` over every
     not-yet-committed partition; returns the partitions processed this
@@ -145,7 +187,13 @@ def resumable_run(
     source-partitioned table prunes to one directory per job.
 
     ``per_partition_job`` returns a metrics dict recorded in lineage.
+    With ``sketch_columns``, each partition's mergeable sketch state
+    (gate_spark/sketches.py) is committed alongside — after which
+    ``merged_stats_from_lineage`` rebuilds global statistics with no
+    rescan of completed partitions.
     """
+    from gate_spark import sketches as sk
+
     if partitions is None:
         partitions = [
             str(r[0])
@@ -156,9 +204,36 @@ def resumable_run(
     for p in todo:
         part_df = df.where(F.col(partition_key) == F.lit(p))
         metrics = per_partition_job(part_df, p) or {}
-        store.mark_completed([p], run_spec, snapshot_id, {str(p): metrics})
+        payload = None
+        if sketch_columns:
+            payload = sk.sketches_to_json(
+                sk.column_sketches(
+                    part_df, sketch_columns, partition_key, hist_edges=hist_edges
+                )
+            )
+        store.mark_completed(
+            [p],
+            run_spec,
+            snapshot_id,
+            {str(p): metrics},
+            partition_spec=partition_key,
+            sketches=payload,
+        )
         done.append(p)
     return done
+
+
+def merged_stats_from_lineage(
+    store: CheckpointStore, run_spec: str, snapshot_id: str
+):
+    """Global statistics rebuilt purely from checkpointed sketch state
+    (no input rescan): merge of every committed partition's sketch rows.
+    Returns the sketches.merge_sketches frame (column, rows, n,
+    coverage, mean, stddev, min, max, ndv, hist, edges)."""
+    from gate_spark import sketches as sk
+
+    payload = store.sketch_state(run_spec, snapshot_id)
+    return sk.merge_sketches(sk.sketches_from_json(store.spark, payload))
 
 
 def run_id() -> str:

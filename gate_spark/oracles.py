@@ -320,6 +320,45 @@ def token_summary_sql() -> str:
     )
 
 
+def sketch_merge_sql(edges: list[float]) -> str:
+    """Twin of sketches.column_sketches -> merge_sketches over
+    documents: global exactly-mergeable stats per column plus the
+    merged fixed-edge histogram of n_chars exploded to (bin, bin_count)
+    rows (every bin enumerated, zero counts included — same shape as
+    exploding the engine's hist array). NDV is HLL-approximate and is
+    pinned in pytest instead of here."""
+    bin_expr = " + ".join(
+        f"CAST(n_chars >= {float(e)} AS INT)" for e in edges
+    )
+    nbins = len(edges) + 1
+    return f"""WITH stats AS (
+  SELECT 'n_chars' AS column, COUNT(*) AS n_rows, COUNT(n_chars) AS n,
+         {_f6('COUNT(n_chars)::DOUBLE / COUNT(*)')} AS coverage,
+         {_f6('AVG(CAST(n_chars AS DOUBLE))')} AS mean,
+         {_f6('STDDEV_SAMP(CAST(n_chars AS DOUBLE))')} AS stddev,
+         {_f6('MIN(CAST(n_chars AS DOUBLE))')} AS min_v,
+         {_f6('MAX(CAST(n_chars AS DOUBLE))')} AS max_v
+  FROM documents
+  UNION ALL
+  SELECT 'lang', COUNT(*), COUNT(lang),
+         {_f6('COUNT(lang)::DOUBLE / COUNT(*)')},
+         {_null_f()}, {_null_f()}, {_null_f()}, {_null_f()}
+  FROM documents
+), allbins AS (
+  SELECT CAST(unnest(range({nbins})) AS INTEGER) AS bin
+), counted AS (
+  SELECT {bin_expr} AS bin, COUNT(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+), hist AS (
+  SELECT allbins.bin, CAST(coalesce(counted.c, 0) AS BIGINT) AS bin_count
+  FROM allbins LEFT JOIN counted ON allbins.bin = counted.bin
+)
+SELECT s.column, s.n_rows, s.n, s.coverage, s.mean, s.stddev, s.min_v, s.max_v,
+       h.bin, h.bin_count
+FROM stats s LEFT JOIN hist h ON s.column = 'n_chars'
+ORDER BY s.column, h.bin"""
+
+
 # ------------------------------------------------------------------- dedup
 
 DOCS_DUP_VIEW = """SELECT doc_id, text, source FROM documents

@@ -1,0 +1,159 @@
+"""Mergeable sketch state + no-rescan resume (north-rule lineage).
+
+The north star's checkpoint table carries per-partition *sketch state*;
+these tests pin (1) merge(per-partition sketches) == direct global
+aggregation for every exactly-mergeable statistic, (2) HLL distinct
+merge accuracy, (3) histogram merge + quantile reconstruction, (4) the
+lineage round-trip: a run interrupted mid-way resumes the remaining
+partitions and rebuilds correct GLOBAL stats purely from lineage, and
+(5) old lineage stores (pre-sketch schema) still read.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gate_spark import sketches as sk
+from gate_spark.checkpoint import (
+    CheckpointStore,
+    merged_stats_from_lineage,
+    resumable_run,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _direct(docs):
+    return docs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count("n_chars").alias("n"),
+        F.avg(F.col("n_chars").cast("double")).alias("mean"),
+        F.stddev_samp(F.col("n_chars").cast("double")).alias("stddev"),
+        F.min(F.col("n_chars").cast("double")).alias("min"),
+        F.max(F.col("n_chars").cast("double")).alias("max"),
+        F.countDistinct("doc_id").alias("ndv_exact"),
+    ).first()
+
+
+def test_merge_equals_direct(spark, docs):
+    skt = sk.column_sketches(
+        docs, ["n_chars", "doc_id", "lang"], "source",
+        hist_edges={"n_chars": [100.0, 300.0, 1000.0, 3000.0]},
+    )
+    merged = {r["column"]: r for r in sk.merge_sketches(skt).collect()}
+    d = _direct(docs)
+
+    m = merged["n_chars"]
+    assert m["rows"] == d["rows"] and m["n"] == d["n"]
+    assert math.isclose(m["mean"], d["mean"], rel_tol=1e-9)
+    assert math.isclose(m["stddev"], d["stddev"], rel_tol=1e-6)
+    assert m["min"] == d["min"] and m["max"] == d["max"]
+    # histogram merged element-wise: totals must equal non-null count
+    assert sum(m["hist"]) == d["n"]
+    assert m["edges"] == [100.0, 300.0, 1000.0, 3000.0]
+
+    # HLL union across partitions: near-exact at this cardinality
+    ids = merged["doc_id"]
+    assert abs(ids["ndv"] - d["ndv_exact"]) / d["ndv_exact"] < 0.03
+    # string column: moments null, counts live
+    lang = merged["lang"]
+    assert lang["mean"] is None and lang["n"] == d["rows"]
+
+
+def test_quantiles_from_hist(spark, docs):
+    edges = [float(x) for x in range(0, 5000, 50)]
+    skt = sk.column_sketches(
+        docs, ["n_chars"], "source", hist_edges={"n_chars": edges}
+    )
+    m = sk.merge_sketches(skt).first()
+    p50, p95 = sk.quantiles_from_hist(m["hist"], m["edges"], [0.5, 0.95])
+    exact = docs.select(
+        F.expr("percentile(CAST(n_chars AS DOUBLE), array(0.5, 0.95))").alias("q")
+    ).first()["q"]
+    # histogram quantile is exact to within one bin width (50)
+    assert abs(p50 - exact[0]) <= 50.0
+    assert abs(p95 - exact[1]) <= 50.0
+
+
+def test_sketch_json_round_trip(spark, docs):
+    skt = sk.column_sketches(
+        docs, ["n_chars", "lang"], "source",
+        hist_edges={"n_chars": [500.0]},
+    )
+    payload = sk.sketches_to_json(skt)
+    back = sk.sketches_from_json(spark, payload)
+    a = sk.merge_sketches(skt).orderBy("column").collect()
+    b = sk.merge_sketches(back).orderBy("column").collect()
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict()
+
+
+def test_interrupted_run_resumes_and_merges_globally(spark, docs, tmp_path):
+    """Kill the run after 3 of the partitions; resume must process only
+    the rest, and global stats from lineage must equal direct
+    aggregation over the WHOLE table — with zero rescan of the first 3."""
+    store = CheckpointStore(spark, str(tmp_path / "lineage"))
+    parts = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
+    )
+    processed = []
+
+    class Boom(Exception):
+        pass
+
+    def job(part_df, p):
+        processed.append(p)
+        if len(processed) == 4 and p not in parts[:3]:
+            raise Boom()  # simulated crash mid-run
+        return {"rows": part_df.count()}
+
+    try:
+        resumable_run(
+            store, docs, "source", "rs", "snap1", job,
+            sketch_columns=["n_chars", "doc_id"],
+        )
+    except Boom:
+        pass
+    assert 3 <= len(store.completed_partitions("rs", "snap1")) < len(parts)
+
+    processed.clear()
+    done = resumable_run(
+        store, docs, "source", "rs", "snap1",
+        lambda pdf, p: {"rows": pdf.count()},
+        sketch_columns=["n_chars", "doc_id"],
+    )
+    assert set(done).isdisjoint(parts[:3])  # completed work not redone
+    assert store.pending_partitions(parts, "rs", "snap1") == []
+
+    g = {
+        r["column"]: r
+        for r in merged_stats_from_lineage(store, "rs", "snap1").collect()
+    }
+    d = _direct(docs)
+    assert g["n_chars"]["rows"] == d["rows"]
+    assert math.isclose(g["n_chars"]["mean"], d["mean"], rel_tol=1e-9)
+    assert math.isclose(g["n_chars"]["stddev"], d["stddev"], rel_tol=1e-6)
+    assert abs(g["doc_id"]["ndv"] - d["ndv_exact"]) / d["ndv_exact"] < 0.03
+
+
+def test_old_lineage_schema_still_reads(spark, tmp_path):
+    """Stores written before partition_spec/sketch_json existed read as
+    nulls — completion queries and sketch_state degrade gracefully."""
+    path = str(tmp_path / "old")
+    spark.createDataFrame(
+        [("rs", "p0", "snap", "completed", "{}", 1.0)],
+        "run_spec string, partition string, snapshot_id string,"
+        " status string, metrics_json string, ts double",
+    ).write.parquet(path)
+    store = CheckpointStore(spark, path)
+    assert store.completed_partitions("rs", "snap") == {"p0"}
+    assert store.sketch_state("rs", "snap") == {}
+    store.mark_completed(
+        ["p1"], "rs", "snap", partition_spec="source", sketches={"p1": "[]"}
+    )
+    assert store.completed_partitions("rs", "snap") == {"p0", "p1"}
+    assert store.sketch_state("rs", "snap") == {"p1": "[]"}

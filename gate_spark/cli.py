@@ -1,0 +1,187 @@
+"""spark-submit job entry — the north-rule deployment path.
+
+Production invocation (multi-executor cluster, N or 4N executors):
+
+    spark-submit --master yarn --deploy-mode cluster \\
+        --num-executors 256 --executor-cores 4 \\
+        --py-files dist/gate_spark.zip \\
+        tools/run_validation.py \\
+        --input warehouse.tokens --output s3://.../out \\
+        --lineage s3://.../lineage --partition-key source --sketch
+
+The SparkSession is taken from spark-submit's conf (no master override
+here); ``--local-cores N`` exists for ad-hoc ``python -m gate_spark``
+runs outside spark-submit. The job:
+
+1. reads the input (Iceberg table id or parquet path —
+   ``iceberg.read_table`` dispatch) and stamps its snapshot;
+2. with ``--lineage``, resumes: partitions already committed for this
+   (run-spec, snapshot) are pruned OUT of the input scan (pushed-down
+   isin filter → partition pruning), so a restarted 10^12-row run
+   rescans nothing it already validated;
+3. runs the one-scan ``validate_tokens`` pipeline on the pending
+   partitions and writes verdicts / violations / summary / PSI-KS /
+   drift to ``--output``;
+4. commits per-partition lineage rows (snapshot-id, partition spec,
+   metrics, and with ``--sketch`` the mergeable sketch state
+   (gate_spark/sketches.py) that lets ``merged_stats_from_lineage``
+   rebuild global statistics with zero rescan);
+5. prints ONE machine-readable JSON summary line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gate_spark", description="token-table validation job"
+    )
+    p.add_argument("--input", required=True, help="parquet path or Iceberg table id")
+    p.add_argument("--output", required=True, help="output directory (parquet)")
+    p.add_argument("--lineage", default=None, help="checkpoint store path (enables resume)")
+    p.add_argument("--partition-key", default="source")
+    p.add_argument("--doc-id-col", default="doc_id")
+    p.add_argument("--tokens-col", default="tokens")
+    p.add_argument("--n-tok-col", default="n_tok")
+    p.add_argument("--domain", default=None, help="comma-separated source domain")
+    p.add_argument("--vocab", default="0:50257", help="lo:hi token id bounds")
+    p.add_argument("--distinct-mode", default="approx", choices=["approx", "exact"])
+    p.add_argument("--quantile-mode", default="approx", choices=["approx", "nearest"])
+    p.add_argument("--no-drift", action="store_true")
+    p.add_argument("--snapshot", default="auto", help="input snapshot id ('auto' = stamp)")
+    p.add_argument("--sketch", action="store_true", help="commit mergeable sketch state")
+    p.add_argument("--app-name", default="gate_spark_validate")
+    p.add_argument(
+        "--local-cores", type=int, default=None,
+        help="run without spark-submit on local[N] (ad-hoc/debug only)",
+    )
+    return p
+
+
+def _get_session(args) -> SparkSession:
+    if args.local_cores:
+        from gate_spark.session import get_spark
+
+        return get_spark(args.app_name, cores=args.local_cores)
+    # under spark-submit the master/deploy conf is already set
+    return SparkSession.builder.appName(args.app_name).getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from gate_spark.checkpoint import CheckpointStore, spec_hash
+    from gate_spark.iceberg import current_snapshot_id, read_table
+    from gate_spark.pipeline import validate_tokens
+    from gate_spark import sketches as sk
+
+    spark = _get_session(args)
+    df = read_table(spark, args.input)
+    snapshot = (
+        current_snapshot_id(spark, args.input)
+        if args.snapshot == "auto"
+        else args.snapshot
+    )
+    lo, hi = (int(x) for x in args.vocab.split(":"))
+    domain = tuple(args.domain.split(",")) if args.domain else None
+    run_spec = spec_hash(
+        {
+            k: v
+            for k, v in vars(args).items()
+            # identity of the validation, not of this invocation
+            if k not in ("output", "lineage", "snapshot", "app_name", "local_cores")
+        }
+    )
+
+    store = CheckpointStore(spark, args.lineage) if args.lineage else None
+    all_parts = [
+        str(r[0])
+        for r in df.select(args.partition_key).distinct().orderBy(args.partition_key).collect()
+    ]
+    pending = (
+        store.pending_partitions(all_parts, run_spec, snapshot) if store else all_parts
+    )
+    summary_line = {
+        "run_spec": run_spec,
+        "snapshot": snapshot,
+        "partitions": len(all_parts),
+        "pending": len(pending),
+    }
+    if not pending:
+        summary_line["status"] = "up-to-date"
+        print(json.dumps(summary_line))
+        return 0
+
+    if len(pending) < len(all_parts):
+        # pushed-down membership filter -> partition pruning on a
+        # source-partitioned table: completed partitions are never read
+        df = df.where(F.col(args.partition_key).isin(pending))
+
+    result = validate_tokens(
+        df,
+        partition_key=args.partition_key,
+        doc_id_col=args.doc_id_col,
+        tokens_col=args.tokens_col,
+        n_tok_col=args.n_tok_col,
+        domain=domain,
+        vocab=(lo, hi),
+        distinct_mode=args.distinct_mode,
+        quantile_mode=args.quantile_mode,
+        compute_drift=not args.no_drift and len(pending) >= 6,
+    )
+    out = args.output.rstrip("/")
+    result.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
+    result.violations.write.mode("overwrite").parquet(f"{out}/violations")
+    result.summary.df.write.mode("overwrite").parquet(f"{out}/summary")
+    result.distribution.write.mode("overwrite").parquet(f"{out}/distribution")
+    if result.drift is not None:
+        result.drift.write.mode("overwrite").parquet(f"{out}/drift")
+
+    # per-partition metrics from the (metadata-scale) verdict table
+    verdict_rows = result.verdicts.collect()
+    metrics: dict[str, dict] = {}
+    failed = 0
+    for r in verdict_rows:
+        m = metrics.setdefault(
+            r["partition"], {"row_count": r["row_count"], "violations": 0}
+        )
+        m["violations"] += int(r["violation_count"])
+        failed += int(not r["passed"])
+    summary_line["constraint_failures"] = failed
+
+    if store:
+        payload = None
+        if args.sketch:
+            payload = sk.sketches_to_json(
+                sk.column_sketches(
+                    result.slim.select(
+                        F.col("_pk").alias(args.partition_key),
+                        F.col("n_tok"),
+                        F.col("_key").alias(args.doc_id_col),
+                    ),
+                    ["n_tok", args.doc_id_col],
+                    args.partition_key,
+                )
+            )
+        store.mark_completed(
+            pending,
+            run_spec,
+            snapshot,
+            metrics,
+            partition_spec=args.partition_key,
+            sketches=payload,
+        )
+    result.unpersist()
+    summary_line["status"] = "completed"
+    print(json.dumps(summary_line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

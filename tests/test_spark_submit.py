@@ -1,0 +1,101 @@
+"""The north-rule deployment path, exercised for real: the validation
+job launched via ``spark-submit --py-files gate_spark.zip`` in a fresh
+JVM + fresh working directory (so the package genuinely resolves from
+the zip, as it would on a cluster's executors), then resumed — the
+second submit must find zero pending partitions, and global stats must
+be reconstructible from the committed sketch lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyspark
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from make_pyfiles import build  # noqa: E402
+
+SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _submit(workdir: str, pyz: str, job_args: list[str]) -> dict:
+    launcher = os.path.join(workdir, "run_validation.py")
+    shutil.copy(os.path.join(REPO, "tools", "run_validation.py"), launcher)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.driver.memory=4g",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", pyz,
+            launcher,
+        ]
+        + job_args,
+        capture_output=True,
+        text=True,
+        cwd=workdir,  # NOT the repo: gate_spark must come from the zip
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-4000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, proc.stdout[-2000:]
+    return json.loads(lines[-1])
+
+
+def test_spark_submit_pyfiles_run_and_resume(spark, tmp_path):
+    from gate_spark.datagen import write_token_table
+    from gate_spark.checkpoint import CheckpointStore, merged_stats_from_lineage
+
+    data = str(tmp_path / "tokens")
+    write_token_table(
+        spark, data, 30000,
+        mismatch_frac=0.01, oov_frac=0.01, dup_frac=0.0,
+        num_partitions=8,
+    )
+    pyz = build(str(tmp_path / "gate_spark.zip"))
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    args = [
+        "--input", data,
+        "--output", out,
+        "--lineage", lineage,
+        "--partition-key", "source",
+        "--domain", ",".join(f"src{i}" for i in range(20)),
+        "--sketch",
+        "--no-drift",
+    ]
+
+    first = _submit(str(tmp_path), pyz, args)
+    assert first["status"] == "completed"
+    assert first["pending"] == first["partitions"] > 0
+    assert first["constraint_failures"] > 0  # injected mismatch/oov fire
+
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.count() == first["partitions"] * 4
+    assert spark.read.parquet(f"{out}/summary").count() > 0
+
+    # resume in another fresh JVM: everything is already committed
+    second = _submit(str(tmp_path), pyz, args)
+    assert second["status"] == "up-to-date"
+    assert second["pending"] == 0
+    assert second["run_spec"] == first["run_spec"]
+    assert second["snapshot"] == first["snapshot"]
+
+    # sketch lineage committed by the submitted job merges to global
+    # stats in THIS session with zero data rescan
+    store = CheckpointStore(spark, lineage)
+    g = {
+        r["column"]: r
+        for r in merged_stats_from_lineage(
+            store, first["run_spec"], first["snapshot"]
+        ).collect()
+    }
+    assert g["n_tok"]["rows"] == 30000
+    assert g["n_tok"]["min"] is not None and g["n_tok"]["max"] is not None

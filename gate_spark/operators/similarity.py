@@ -94,8 +94,13 @@ def train_ivf_centroids(
     ).reshape(-1, len(corpus.select(vec_col).first()[0]))
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=min(num_cells, len(sample)), replace=False)]
+    # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 as matmuls: the distance
+    # matrix is (sample x cells), never the (sample x cells x dim)
+    # broadcast tensor (which is 100s of GB at the C ~ sqrt(N) cells a
+    # real index needs).
+    s2 = (sample * sample).sum(axis=1)[:, None]
     for _ in range(10):  # Lloyd iterations on the sample
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        d = s2 - 2.0 * (sample @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d.argmin(1)
         for j in range(len(cents)):
             pts = sample[assign == j]

@@ -13,12 +13,19 @@ Statistics kept streaming-mergeable: count, coverage, mean, stddev
 not streaming-safe in one pass (non-mergeable without sketch state in
 the agg buffer) — for those, run the batch summarize over completed
 windows (the lambda-architecture split the checkpoint store enables).
+
+For drift against ALL prior history (not just a window),
+:func:`incremental_drift` is a custom stateful operator
+(``applyInPandasWithState``) carrying the mergeable sketch state in
+Spark's state store: O(bins) state per partition, checkpoint-restored
+on restart.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def streaming_column_stats(
@@ -73,6 +80,128 @@ def streaming_column_stats(
     out_keys = ["window"] + ([partition_key] if partition_key else [])
     return wide.select(*out_keys, F.explode(F.array(*structs)).alias("_s")).select(
         *out_keys, "_s.*"
+    )
+
+
+INCREMENTAL_DRIFT_OUTPUT = T.StructType(
+    [
+        T.StructField("partition", T.StringType()),
+        T.StructField("batch_rows", T.LongType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("stddev", T.DoubleType()),
+        T.StructField("psi", T.DoubleType()),
+        T.StructField("drifted", T.BooleanType()),
+    ]
+)
+
+_DRIFT_STATE = T.StructType(
+    [
+        T.StructField("count", T.LongType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("sumsq", T.DoubleType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def incremental_drift(
+    stream_df: DataFrame,
+    partition_key: str,
+    value_col: str,
+    *,
+    inner_edges: list[float],
+    psi_threshold: float = 0.2,
+    min_history: int = 1000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-partition drift verdicts where each micro-batch is scored
+    against the accumulated history of every previous batch — the
+    streaming twin of the batch PSI check (operators/distribution.py),
+    with the history carried in Spark's state store instead of a
+    trailing summary table.
+
+    Per group-state: (count, sum, sumsq, fixed-edge histogram) — the
+    same mergeable sketch state as gate_spark/sketches.py, so state
+    size is O(bins) per partition regardless of stream length, and a
+    query restart restores it from the streaming checkpoint (pinned by
+    the restart test).
+
+    Emits one row per (partition, micro-batch): batch_rows, running
+    total/mean/stddev, and PSI of the batch vs history (null until
+    ``min_history`` rows of history exist). Arrow-batched pandas on the
+    executor — no per-row Python.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    edges = [float(e) for e in inner_edges]
+    nbins = len(edges) + 1
+
+    def score(key, pdfs, state):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            count, total, totsq, hist = state.get
+            hist = np.asarray(hist, dtype=np.int64)
+        else:
+            count, total, totsq = 0, 0.0, 0.0
+            hist = np.zeros(nbins, dtype=np.int64)
+
+        b_n, b_sum, b_sumsq = 0, 0.0, 0.0
+        b_hist = np.zeros(nbins, dtype=np.int64)
+        for pdf in pdfs:
+            v = pd.to_numeric(pdf[value_col], errors="coerce").dropna()
+            v = v.to_numpy(dtype=np.float64)
+            b_n += v.size
+            b_sum += float(v.sum())
+            b_sumsq += float((v * v).sum())
+            # bin = |{e : e <= v}| — same rule as distribution._bin_expr
+            b_hist += np.bincount(
+                np.searchsorted(edges, v, side="right"), minlength=nbins
+            )
+
+        psi = drifted = None
+        if state.exists and count >= min_history and b_n > 0:
+            p = np.maximum(b_hist / b_n, 1e-6)
+            q = np.maximum(hist / count, 1e-6)
+            psi = float(((p - q) * np.log(p / q)).sum())
+            drifted = bool(psi >= psi_threshold)
+
+        count += b_n
+        total += b_sum
+        totsq += b_sumsq
+        hist = hist + b_hist
+        state.update((int(count), float(total), float(totsq), [int(x) for x in hist]))
+
+        mean = total / count if count else None
+        stddev = (
+            math.sqrt(max((totsq - total * total / count) / (count - 1), 0.0))
+            if count > 1
+            else None
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "partition": str(key[0]),
+                    "batch_rows": b_n,
+                    "total_rows": count,
+                    "mean": mean,
+                    "stddev": stddev,
+                    "psi": psi,
+                    "drifted": drifted,
+                }
+            ]
+        )
+
+    return stream_df.groupBy(partition_key).applyInPandasWithState(
+        score,
+        INCREMENTAL_DRIFT_OUTPUT,
+        _DRIFT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 

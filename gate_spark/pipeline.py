@@ -75,10 +75,13 @@ class TokenValidationResult:
     distribution: DataFrame
     drift: DataFrame | None
     slim: DataFrame
+    flagged_cache: DataFrame | None = None
 
     def unpersist(self) -> None:
         self.slim.unpersist()
         self.summary.df.unpersist()
+        if self.flagged_cache is not None:
+            self.flagged_cache.unpersist()
 
 
 def validate_tokens(
@@ -99,6 +102,7 @@ def validate_tokens(
     psi_threshold: float = 0.2,
     ks_threshold: float = 0.2,
     truncate_lineage: bool = False,
+    broadcast_dupes_threshold: int = 2_000_000,
 ) -> TokenValidationResult:
     """One-scan validation of a (doc_id, tokens, n_tok, source) table.
 
@@ -143,17 +147,32 @@ def validate_tokens(
     else:
         slim = slim.persist()
 
-    # uniqueness: groupBy on the slim frame; the dupes side is usually
-    # tiny but unbounded — let AQE choose broadcast vs shuffle rather
-    # than forcing a broadcast that OOMs on a mass re-ingestion.
+    # uniqueness: groupBy on the slim frame (map-side combine makes the
+    # shuffle carry ~1 row per key per map task). The dupes side is
+    # usually tiny but unbounded, so the join strategy is gated on a
+    # COUNTED threshold (never a blind broadcast hint): small dup sets
+    # broadcast — the flagged join then runs map-side with NO shuffle
+    # of the table, and the verdicts and violations actions both reuse
+    # that shuffle-free plan; a mass re-ingestion (millions of dupes)
+    # falls back to one persisted sort-merge join shared by both
+    # actions instead of two.
     dupes = (
         slim.groupBy("_key")
         .agg(F.count(F.lit(1)).alias("_dup"))
         .where(F.col("_dup") > 1)
+        .persist()  # consumed by count + 2 joins; rows bounded below
     )
-    flagged = slim.join(dupes, "_key", "left").withColumn(
-        "_f_unique", F.col("_dup").isNotNull()
-    )
+    dup_count = dupes.count()
+    if dup_count <= broadcast_dupes_threshold:
+        flagged = slim.join(F.broadcast(dupes), "_key", "left")
+        flagged_cached = dupes
+    else:
+        # dup set too large to hold: release it and share ONE
+        # sort-merge join between the verdicts and violations actions
+        dupes.unpersist()
+        flagged = slim.join(dupes, "_key", "left").persist()
+        flagged_cached = flagged
+    flagged = flagged.withColumn("_f_unique", F.col("_dup").isNotNull())
 
     names = ["unique_doc_id", "token_array_equality", "source_membership", "vocab_bounds"]
     flags = ["_f_unique", "_f_eq", "_f_member", "_f_vocab"]
@@ -265,4 +284,5 @@ def validate_tokens(
         distribution=distribution,
         drift=drift,
         slim=slim,
+        flagged_cache=flagged_cached,
     )

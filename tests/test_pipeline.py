@@ -86,3 +86,26 @@ def test_violation_rows_and_drift_shape(tokens, result):
     assert len(d) == tokens.select("source").distinct().count()
     psi = result.distribution.toPandas()
     assert len(psi) == len(d)
+
+
+def test_uniqueness_join_plan_shape(tokens, result):
+    """The scale claim, pinned on the physical plan: below the counted
+    dup threshold the verdicts/violations actions use a broadcast-hash
+    join of the dup set (no full-table shuffle); forcing the fallback
+    switches to one shared persisted shuffle join."""
+    plan = result.verdicts._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert result.flagged_cache is not None  # cached dup set handle
+
+    fallback = validate_tokens(
+        tokens, domain=DOMAIN, compute_drift=False,
+        broadcast_dupes_threshold=0,
+    )
+    # no forced hint in the fallback: AQE is free to pick the strategy
+    # (on tiny test data it converts to broadcast at runtime); the
+    # structural guarantee is the SHARED persisted join result
+    assert fallback.flagged_cache is not None
+    assert fallback.flagged_cache.storageLevel.useMemory  # persisted
+    assert fallback.verdicts.count() > 0
+    fallback.unpersist()

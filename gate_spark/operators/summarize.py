@@ -179,6 +179,7 @@ def summarize(
     accuracy: int = 10000,
     compute_embedding_examples: bool = True,
     skew_salt: int | None = None,  # explicit two-phase salted aggregation
+    quantile_columns: Sequence[str] | None = None,
 ) -> Summary:
     """Compute per-partition summaries (reference entry point:
     gate/summarize.py:49-117 -> Summary.fromRaw gate/summary.py:148-403).
@@ -186,6 +187,16 @@ def summarize(
     Returns a :class:`Summary` whose ``df`` is the long-format table
     ``(partition_key, column, coverage, mean, num_unique_values,
     occurrence_ratio, p50, p95[, extras...])`` with float32 values.
+
+    ``quantile_columns`` restricts p50/p95 to a subset of the numeric
+    columns (others get null). This matters at scale: a
+    ``percentile_approx`` digest over a high-cardinality column (e.g.
+    a 10^9-distinct id) carries ~accuracy samples per map partial, and
+    Spark's final per-group digest merge is single-threaded — one
+    straggler task can burn minutes-to-hours of serial CPU merging
+    hundreds of fat partials. Quantiles of id-like columns are
+    meaningless; exclude them and the digests that remain (bounded
+    domains like token lengths) stay small and merge in milliseconds.
     """
     requested, emap, partition_key = _validate(
         df, columns, embedding_column_map, partition_key, previous
@@ -215,6 +226,7 @@ def summarize(
                 extras=extras,
                 accuracy=accuracy,
                 skew_salt=skew_salt,
+                quantile_columns=quantile_columns,
             )
         )
 
@@ -273,6 +285,7 @@ def _scalar_summary(
     extras: bool,
     accuracy: int,
     skew_salt: int | None = None,
+    quantile_columns: Sequence[str] | None = None,
 ) -> DataFrame:
     cols = list(column_types)
 
@@ -298,6 +311,11 @@ def _scalar_summary(
         c: ("int" if column_types[c] in ("bool", "array") else column_types[c]) for c in cols
     }
     needs_numeric = {c for c in cols if eff_type[c] in ("int", "float")}
+    needs_quantile = (
+        needs_numeric
+        if quantile_columns is None
+        else needs_numeric & set(quantile_columns)
+    )
     needs_distinct = {
         c for c in cols if "num_unique_values" in TYPE_TO_STATISTICS[column_types[c]]
     }
@@ -340,7 +358,7 @@ def _scalar_summary(
                     ).otherwise(F.col("num_unique_values")),
                 )
             long_df = long_df.drop("_occ", "_ndv")
-        num_cols = sorted(needs_numeric)
+        num_cols = sorted(needs_quantile)
         if num_cols:
             qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
             long_df = long_df.join(qside, [partition_key, "column"], "left")
@@ -360,13 +378,13 @@ def _scalar_summary(
         aggs.append(F.avg(col.isNotNull().cast("double")).alias(f"c{i}__coverage"))
         if c in needs_numeric:
             aggs.append(F.avg(col.cast("double")).alias(f"c{i}__mean"))
-            if quantile_mode == "approx":
+            if quantile_mode == "approx" and c in needs_quantile:
                 aggs.append(
                     F.percentile_approx(
                         col.cast("double"), F.array(F.lit(0.5), F.lit(0.95)), accuracy
                     ).alias(f"c{i}__q")
                 )
-            elif quantile_mode == "linear":
+            elif quantile_mode == "linear" and c in needs_quantile:
                 aggs.append(
                     F.percentile(
                         col.cast("double"), F.array(F.lit(0.5), F.lit(0.95))
@@ -402,7 +420,7 @@ def _scalar_summary(
             if s in ("p50", "p95") and quantile_mode in ("approx", "linear"):
                 src = (
                     F.element_at(F.col(f"c{i}__q"), 1 if s == "p50" else 2)
-                    if c in needs_numeric
+                    if c in needs_quantile
                     else F.lit(None).cast("double")
                 )
             elif name in agged_cols:
@@ -441,7 +459,7 @@ def _scalar_summary(
 
     # ---- pass 3 (gate-parity only): exact nearest-rank quantiles.
     if quantile_mode == "nearest":
-        num_cols = sorted(needs_numeric)
+        num_cols = sorted(needs_quantile)
         if num_cols:
             qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
             long_df = long_df.join(qside, [partition_key, "column"], "left")

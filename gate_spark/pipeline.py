@@ -250,6 +250,12 @@ def validate_tokens(
         quantile_mode=quantile_mode,
         extras=True,
         accuracy=accuracy,
+        # No quantiles for the id column: a percentile_approx digest
+        # over ~N distinct ids is ~accuracy samples per map partial and
+        # the per-group final merge is single-threaded — profiled at
+        # 28 min of serial CPU for ONE straggler task at 16M rows x 256
+        # partials. Length columns have bounded domains and stay cheap.
+        quantile_columns=[n_tok_col, tokens_col],
     )
     # summarize() persists the metadata-scale summary table itself, so
     # drift / callers' repeated actions reuse one aggregation run.

@@ -71,6 +71,7 @@ def test_summary_matches_standalone(tokens, result):
     s = summarize(
         tokens, columns=["n_tok", "tokens", "doc_id"], partition_key="source",
         distinct_mode="exact", quantile_mode="nearest", extras=True,
+        quantile_columns=["n_tok", "tokens"],  # pipeline skips id quantiles
     )
     a = _sorted(result.summary.df.toPandas(), ["source", "column"])
     b = _sorted(s.df.toPandas(), ["source", "column"])

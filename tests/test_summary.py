@@ -177,3 +177,21 @@ def test_approx_modes_close_to_exact(documents):
         <= 0.1 * m["num_unique_values_e"] + 2
     ).all()
     assert (m["p50_a"] - m["p50_e"]).abs().max() <= 0.05 * m["p50_e"].abs().max() + 1
+
+
+def test_quantile_columns_subset(spark, small_df):
+    """quantile_columns restricts p50/p95 to the named columns (id-like
+    high-cardinality columns skip the percentile digest entirely)."""
+    from gate_spark.operators.summarize import summarize
+
+    s = summarize(
+        small_df, columns=["int_col", "float_col"], partition_key="grp",
+        quantile_mode="approx", quantile_columns=["float_col"],
+    )
+    pdf = s.df.toPandas()
+    assert pdf[pdf["column"] == "int_col"]["p50"].isna().all()
+    assert pdf[pdf["column"] == "float_col"]["p50"].notna().all()
+    # the digest agg must not even appear in the plan for int_col
+    plan = s.df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("percentile_approx") == 1
+    s.unpersist()

@@ -110,6 +110,29 @@ class CheckpointStore:
         done = self.completed_partitions(run_spec, snapshot_id)
         return [p for p in all_partitions if str(p) not in done]
 
+    def pending_by_stamps(
+        self, stamps: dict[str, str], run_spec: str
+    ) -> list[str]:
+        """Per-partition incremental resume: given each partition's OWN
+        snapshot stamp (iceberg.partition_snapshot_stamps), a partition
+        is pending unless its latest committed row matches its current
+        stamp — an append to one partition re-validates that partition
+        alone, not the whole table."""
+        df = self._read()
+        if df is None:
+            return sorted(stamps)
+        rows = (
+            df.where(
+                (F.col("run_spec") == run_spec)
+                & (F.col("status") == "completed")
+            )
+            .groupBy("partition")
+            .agg(F.max_by("snapshot_id", "ts").alias("snapshot_id"))
+            .collect()
+        )
+        latest = {r["partition"]: r["snapshot_id"] for r in rows}
+        return sorted(p for p, s in stamps.items() if latest.get(str(p)) != s)
+
     def mark_completed(
         self,
         partitions: list[str],
@@ -119,12 +142,15 @@ class CheckpointStore:
         *,
         partition_spec: str | None = None,
         sketches: dict[str, str] | None = None,
+        snapshots: dict[str, str] | None = None,
     ) -> None:
         """Append completion rows (one atomic parquet file per call).
 
         ``sketches`` maps partition -> sketch_json payload
         (sketches.sketches_to_json); ``partition_spec`` records the
-        input partitioning (e.g. ``"source"``) at commit time.
+        input partitioning (e.g. ``"source"``) at commit time;
+        ``snapshots`` overrides ``snapshot_id`` per partition (the
+        per-partition stamp incremental path, see pending_by_stamps).
         """
         now = time.time()
         rows = [
@@ -132,7 +158,7 @@ class CheckpointStore:
                 run_spec,
                 str(p),
                 partition_spec,
-                snapshot_id,
+                (snapshots or {}).get(str(p), snapshot_id),
                 "completed",
                 (sketches or {}).get(str(p)),
                 json.dumps((metrics or {}).get(str(p), {})),
@@ -143,25 +169,42 @@ class CheckpointStore:
         df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
 
-    def sketch_state(self, run_spec: str, snapshot_id: str) -> dict[str, str]:
-        """Latest committed sketch_json per partition for (run_spec,
-        snapshot_id) — input to ``sketches.sketches_from_json`` for the
-        no-rescan global-stats resume path."""
+    def sketch_state(
+        self,
+        run_spec: str,
+        snapshot_id: str | None = None,
+        stamps: dict[str, str] | None = None,
+    ) -> dict[str, str]:
+        """Latest committed sketch_json per partition — input to
+        ``sketches.sketches_from_json`` for the no-rescan global-stats
+        resume path. Filter by one global ``snapshot_id``, by
+        per-partition ``stamps`` (each partition must match its own
+        stamp), or neither (latest regardless of snapshot)."""
         df = self._read()
         if df is None:
             return {}
+        cond = (
+            (F.col("run_spec") == run_spec)
+            & (F.col("status") == "completed")
+            & F.col("sketch_json").isNotNull()
+        )
+        if snapshot_id is not None:
+            cond = cond & (F.col("snapshot_id") == snapshot_id)
         rows = (
-            df.where(
-                (F.col("run_spec") == run_spec)
-                & (F.col("snapshot_id") == snapshot_id)
-                & (F.col("status") == "completed")
-                & F.col("sketch_json").isNotNull()
-            )
+            df.where(cond)
             .groupBy("partition")
-            .agg(F.max_by("sketch_json", "ts").alias("sketch_json"))
+            .agg(
+                F.max_by("sketch_json", "ts").alias("sketch_json"),
+                F.max_by("snapshot_id", "ts").alias("snapshot_id"),
+            )
             .collect()
         )
-        return {r["partition"]: r["sketch_json"] for r in rows}
+        out = {}
+        for r in rows:
+            if stamps is not None and stamps.get(r["partition"]) != r["snapshot_id"]:
+                continue
+            out[r["partition"]] = r["sketch_json"]
+        return out
 
     def lineage(self) -> DataFrame:
         df = self._read()
@@ -224,15 +267,19 @@ def resumable_run(
 
 
 def merged_stats_from_lineage(
-    store: CheckpointStore, run_spec: str, snapshot_id: str
+    store: CheckpointStore,
+    run_spec: str,
+    snapshot_id: str | None = None,
+    stamps: dict[str, str] | None = None,
 ):
     """Global statistics rebuilt purely from checkpointed sketch state
-    (no input rescan): merge of every committed partition's sketch rows.
+    (no input rescan): merge of every committed partition's sketch rows
+    (filtered by a global snapshot, per-partition stamps, or latest).
     Returns the sketches.merge_sketches frame (column, rows, n,
     coverage, mean, stddev, min, max, ndv, hist, edges)."""
     from gate_spark import sketches as sk
 
-    payload = store.sketch_state(run_spec, snapshot_id)
+    payload = store.sketch_state(run_spec, snapshot_id, stamps)
     return sk.merge_sketches(sk.sketches_from_json(store.spark, payload))
 
 

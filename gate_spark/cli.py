@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = _get_session(args)
     df = read_table(spark, args.input)
+    from gate_spark.iceberg import partition_snapshot_stamps
+
+    # per-partition stamps (hive-partitioned path input): an append to
+    # one partition re-validates that partition alone
+    stamps = (
+        partition_snapshot_stamps(args.input, args.partition_key)
+        if args.snapshot == "auto"
+        else {}
+    )
     snapshot = (
         current_snapshot_id(spark, args.input)
         if args.snapshot == "auto"
@@ -104,9 +113,19 @@ def main(argv: list[str] | None = None) -> int:
         str(r[0])
         for r in df.select(args.partition_key).distinct().orderBy(args.partition_key).collect()
     ]
-    pending = (
-        store.pending_partitions(all_parts, run_spec, snapshot) if store else all_parts
-    )
+    if store is None:
+        pending = all_parts
+    elif stamps:
+        pending = store.pending_by_stamps(
+            {p: stamps[p] for p in all_parts if p in stamps}, run_spec
+        )
+        # partitions the reader sees but the dir listing does not
+        # (non-hive layout edge) fall back to the global stamp
+        pending += store.pending_partitions(
+            [p for p in all_parts if p not in stamps], run_spec, snapshot
+        )
+    else:
+        pending = store.pending_partitions(all_parts, run_spec, snapshot)
     summary_line = {
         "run_spec": run_spec,
         "snapshot": snapshot,
@@ -176,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             metrics,
             partition_spec=args.partition_key,
             sketches=payload,
+            snapshots=stamps or None,
         )
     result.unpersist()
     summary_line["status"] = "completed"

@@ -109,6 +109,27 @@ def parquet_snapshot_stamp(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def partition_snapshot_stamps(path: str, partition_key: str) -> dict[str, str]:
+    """Per-partition content stamps of a hive-partitioned parquet dir
+    (``{partition_key}=value`` subdirectories): partition value ->
+    stamp over that partition's data files only. An append to one
+    partition changes ONE stamp, so an incremental run re-validates
+    exactly the partitions whose data moved (the parquet analogue of
+    diffing two Iceberg snapshots' partition-level file manifests).
+    Returns {} when the directory is not partitioned by that key."""
+    out: dict[str, str] = {}
+    prefix = f"{partition_key}="
+    try:
+        entries = sorted(os.listdir(path))
+    except (FileNotFoundError, NotADirectoryError):
+        return out
+    for d in entries:
+        full = os.path.join(path, d)
+        if d.startswith(prefix) and os.path.isdir(full):
+            out[d[len(prefix):]] = parquet_snapshot_stamp(full)
+    return out
+
+
 def current_snapshot_id(
     spark: SparkSession, source: str, catalog: str = "local"
 ) -> str:

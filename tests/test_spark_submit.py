@@ -89,13 +89,53 @@ def test_spark_submit_pyfiles_run_and_resume(spark, tmp_path):
     assert second["snapshot"] == first["snapshot"]
 
     # sketch lineage committed by the submitted job merges to global
-    # stats in THIS session with zero data rescan
+    # stats in THIS session with zero data rescan (per-partition stamp
+    # commits -> fetch latest per partition, no global snapshot filter)
     store = CheckpointStore(spark, lineage)
     g = {
         r["column"]: r
-        for r in merged_stats_from_lineage(
-            store, first["run_spec"], first["snapshot"]
-        ).collect()
+        for r in merged_stats_from_lineage(store, first["run_spec"]).collect()
     }
     assert g["n_tok"]["rows"] == 30000
     assert g["n_tok"]["min"] is not None and g["n_tok"]["max"] is not None
+
+
+def test_cli_per_partition_incremental(spark, tmp_path, capsys):
+    """Per-partition snapshot stamps: appending data to ONE partition
+    re-validates that partition alone on the next run (in-process CLI;
+    the spark-submit path above covers the deployment wrapper)."""
+    import json as _json
+
+    from gate_spark.cli import main
+    from gate_spark.datagen import write_token_table
+
+    data = str(tmp_path / "tok")
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    write_token_table(spark, data, 8000, num_partitions=4)
+    args = [
+        "--input", data, "--output", out, "--lineage", lineage,
+        "--no-drift", "--sketch", "--local-cores", "8",
+    ]
+
+    def run():
+        assert main(args) == 0
+        line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        return _json.loads(line)
+
+    j1 = run()
+    assert j1["pending"] == j1["partitions"] == 20
+
+    j2 = run()
+    assert j2["status"] == "up-to-date" and j2["pending"] == 0
+
+    # append one row to src7 only
+    spark.createDataFrame(
+        [("doc-appended", [1, 2, 3], 3, "src7")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.partitionBy("source").mode("append").parquet(data)
+
+    j3 = run()
+    assert j3["pending"] == 1  # only src7 re-validates
+    j4 = run()
+    assert j4["status"] == "up-to-date"

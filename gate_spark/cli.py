@@ -53,7 +53,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--domain", default=None, help="comma-separated source domain")
     p.add_argument("--vocab", default="0:50257", help="lo:hi token id bounds")
     p.add_argument("--distinct-mode", default="approx", choices=["approx", "exact"])
-    p.add_argument("--quantile-mode", default="approx", choices=["approx", "nearest"])
+    p.add_argument("--quantile-mode", default="nearest", choices=["approx", "nearest"])
     p.add_argument("--no-drift", action="store_true")
     p.add_argument("--snapshot", default="auto", help="input snapshot id ('auto' = stamp)")
     p.add_argument("--sketch", action="store_true", help="commit mergeable sketch state")

@@ -27,11 +27,22 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 VOCAB_SIZE = 50257
 NUM_SOURCES = 20
+# token values are sliced out of a seeded pool instead of hashed
+# per-element: higher-order functions (F.transform) evaluate
+# INTERPRETED with boxed arithmetic — jstack of the 16M-row generate
+# job showed every executor thread in ArrayTransform.nullSafeEval /
+# BoxesRunTime, i.e. ~n_tok boxed xxhash evals per row and massive
+# young-gen churn. A slice of a broadcast pool is one array copy per
+# row; the pool rides along as DATA (1-row broadcast), never as a
+# 64k-literal expression tree.
+POOL_SIZE = 1 << 16
 
 
 def _u(id_col: Column, seed: int) -> Column:
@@ -90,12 +101,15 @@ def token_table(
         F.greatest(F.exp(log_len).cast("int"), F.lit(1)), F.lit(max_len)
     )
 
-    tokens = F.transform(
-        F.sequence(F.lit(1), length),
-        lambda i: F.pmod(F.xxhash64(rid, i, F.lit(seed + 6)), F.lit(vocab_size)).cast(
-            "int"
-        ),
+    # one JVM-side array Literal (np.ndarray -> functions.lit builds a
+    # single Literal node, NOT a 64k-child CreateArray; and unlike a
+    # broadcast-join pool column it is never copied into per-row
+    # UnsafeRow buffers)
+    pool = np.random.RandomState(seed + 6).randint(
+        0, vocab_size, size=POOL_SIZE + max_len + 1, dtype=np.int32
     )
+    start = F.pmod(F.xxhash64(rid, F.lit(seed + 6)), F.lit(POOL_SIZE)) + 1
+    tokens = F.slice(F.lit(pool), start, length)
     if oov_frac > 0:
         tokens = F.when(
             _u(rid, seed + 7) < oov_frac,

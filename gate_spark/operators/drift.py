@@ -406,6 +406,50 @@ def drift_scores(summary: Summary, k: int = 3) -> DataFrame:
     )
 
 
+def drift_scores_driver(summary: Summary, k: int = 3) -> DataFrame:
+    """Driver-side fast path of :func:`drift_scores`: ONE collect of
+    the (persisted, metadata-scale) summary table, then melt / z-score
+    / kNN / percentile entirely in pandas+numpy — numerically the same
+    float64 math as the Spark ``normalize`` window (pinned against
+    drift_scores in tests), but without ~4 extra metadata-scale Spark
+    stages of pure scheduling latency per validation pass. Use inside
+    orchestrated jobs (pipeline.validate_tokens); the Spark
+    formulation remains the oracle-gated surface."""
+    pk = summary.partition_key
+    statistics = summary.statistics()
+    pdf = summary.df.toPandas()
+    melted = pdf.melt(
+        id_vars=[pk, "column"],
+        value_vars=statistics,
+        var_name="statistic",
+        value_name="value",
+    ).dropna(subset=["value"])
+    melted["value"] = melted["value"].astype(np.float64)
+    g = melted.groupby(["column", "statistic"])["value"]
+    melted["value"] = (melted["value"] - g.transform("mean")) / (
+        g.transform(lambda s: s.std(ddof=1)) + Z_EPS
+    )
+    nn_features = (
+        melted.fillna(0.0)
+        .pivot_table(index=pk, columns=["column", "statistic"], values="value")
+        .fillna(0.0)
+    )
+    x = nn_features.to_numpy(dtype=np.float64)
+    dists, _ = kernels.knn_query(x, min(k + 1, len(x)))
+    d = dists.copy()
+    d[np.isinf(d)] = np.nan
+    scores = kernels.nanmean_rows(d[:, 1:])
+    rows = []
+    for i, part in enumerate(nn_features.index):
+        others = np.delete(scores, i)
+        pct = kernels.percentile_of_score(others, float(scores[i])) / 100.0
+        rows.append((str(part), float(scores[i]), pct, pct >= 0.95))
+    spark = summary.df.sparkSession
+    return spark.createDataFrame(
+        rows, "partition string, score double, score_percentile double, is_drifted boolean"
+    )
+
+
 def name_to_ec(name: str, embedding_columns: list[str]) -> str:
     """Strip a trailing _{i} dimension suffix back to the embedding
     column base name (reference: gate/drift.py:306-325)."""

@@ -20,12 +20,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gate_spark.operators.summarize import Summary, summarize
 from gate_spark.operators.distribution import partition_histograms
-from gate_spark.operators.drift import drift_scores
+from gate_spark.operators.drift import drift_scores_driver
 
 
 def _psi_ks_driver(hist, spark, psi_threshold: float, ks_threshold: float):
@@ -155,12 +156,19 @@ def validate_tokens(
         F.when(f_vocab, tok_max).alias("_vmax"),
     )
     if truncate_lineage:
-        # cut the upstream logical plan: every downstream action would
-        # otherwise re-analyze the full input lineage on the driver
-        # (pure serial time when the input is a deep expression tree or
-        # long job chain). On a cluster this is "write slim to a
-        # scratch table"; locally localCheckpoint is the equivalent.
-        slim = slim.localCheckpoint(eager=True)
+        # Eagerly materialize the shared slim frame. This used to be
+        # localCheckpoint, which jstack profiling exposed as the
+        # 32-thread scaling inverter: it stores partitions as
+        # DESERIALIZED object rows (MemoryStore.putIteratorAsValues,
+        # ~200 B/row), 32 concurrent unroll buffers fight for storage
+        # memory, evicted blocks churn through mmap'd disk files - and
+        # its blocks cannot be freed through DataFrame.unpersist, so
+        # back-to-back runs accumulate dead gigabytes. The columnar
+        # SQL cache is ~10x more compact, contention-free at high
+        # thread counts, and releases cleanly; on a cluster this is
+        # "write slim to a scratch table".
+        slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+        slim.count()
     else:
         slim = slim.persist()
 
@@ -298,7 +306,10 @@ def validate_tokens(
         hist, df.sparkSession, psi_threshold, ks_threshold
     )
 
-    drift = drift_scores(summary, k=drift_k) if compute_drift else None
+    # driver-side fast path (one collect of the cached metadata-scale
+    # summary instead of ~4 scheduled Spark stages; pinned equal to
+    # the Spark drift_scores formulation in test_pipeline.py)
+    drift = drift_scores_driver(summary, k=drift_k) if compute_drift else None
 
     return TokenValidationResult(
         summary=summary,

@@ -110,3 +110,20 @@ def test_uniqueness_join_plan_shape(tokens, result):
     assert fallback.flagged_cache.storageLevel.useMemory  # persisted
     assert fallback.verdicts.count() > 0
     fallback.unpersist()
+
+
+def test_driver_drift_matches_spark_formulation(tokens, result):
+    """drift_scores_driver (pipeline fast path) must equal the Spark
+    drift_scores formulation value-for-value."""
+    import numpy as np
+
+    from gate_spark.operators.drift import drift_scores
+
+    a = _sorted(result.drift.toPandas(), ["partition"])
+    b = _sorted(drift_scores(result.summary, k=3).toPandas(), ["partition"])
+    assert a["partition"].tolist() == b["partition"].tolist()
+    assert np.allclose(a["score"], b["score"], rtol=1e-9, equal_nan=True)
+    assert np.allclose(
+        a["score_percentile"], b["score_percentile"], rtol=1e-12
+    )
+    assert a["is_drifted"].tolist() == b["is_drifted"].tolist()

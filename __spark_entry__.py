@@ -221,7 +221,7 @@ def q_dedup_minhash(spark, sf_dir):
         shingle_size=3,
         threshold=0.5,
         hash_mode="md5",
-    )
+    ).pairs
     return out.select("id_a", "id_b", "n_bands", _r6(F.col("est_jaccard")).alias("est_jaccard"))
 
 
@@ -327,7 +327,7 @@ def q_embedding_near_dup(spark, sf_dir):
         num_planes=8,
         num_bands=4,
         hash_mode="md5",
-    )
+    ).pairs
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 

@@ -96,12 +96,12 @@ def bench_queries(spark):
         _force(distribution_drift(t("lineitem"), "l_returnflag", "l_quantity"))
 
     def q_dedup_minhash():
-        pairs = dd.minhash_dedup(
+        res = dd.minhash_dedup(
             t("documents"), "doc_id", "text",
             num_perm=32, num_bands=8, threshold=0.7, hash_mode="xxhash",
         )
-        _force(pairs)
-        pairs.minhash_signatures.unpersist()
+        _force(res.pairs)
+        res.unpersist()
 
     def q_knn():
         emb = t("embeddings")

@@ -28,10 +28,43 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Optional
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_SPLIT_RE = r"\s+"
+
+
+@dataclass
+class DedupResult:
+    """Near-duplicate pairs plus their audit channel.
+
+    A plain result object (not attributes monkey-patched onto a
+    DataFrame, which silently vanish after any further ``.filter`` /
+    ``.select`` / serialization):
+
+    - ``pairs`` — the near-duplicate pair DataFrame (primary output);
+    - ``dropped_bucket_members`` — lazy audit of (id, band, bucket,
+      bucket_size) rows excluded by the ``max_bucket_size`` cap; count
+      it after an action to measure what the cap dropped;
+    - ``signatures`` — the persisted signature table (MinHash path
+      only); call :meth:`unpersist` once pairs are materialized, or the
+      cached blocks live until the session ends.
+    """
+
+    pairs: DataFrame
+    dropped_bucket_members: DataFrame
+    signatures: Optional[DataFrame] = field(default=None)
+
+    def unpersist(self) -> "DedupResult":
+        if self.signatures is not None:
+            self.signatures.unpersist()
+        return self
 
 
 def _hash64(col: Column, seed: int, mode: str) -> Column:
@@ -132,7 +165,7 @@ def lsh_candidate_pairs(
     num_bands: int,
     rows_per_band: int,
     max_bucket_size: int = 1000,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs from banded LSH: (id_a, id_b, n_bands) where the
     pair collided in ``n_bands`` bands (id_a < id_b).
 
@@ -140,12 +173,12 @@ def lsh_candidate_pairs(
     per (band, bucket) so only same-bucket pairs materialize. Buckets
     larger than ``max_bucket_size`` are dropped (degenerate content —
     e.g. empty docs — would otherwise square). The drop is measurable,
-    not silent: the returned DataFrame carries a lazy diagnostic
-    ``result.dropped_bucket_members`` — the (id, band, bucket,
-    bucket_size) rows excluded by the cap; count it to audit a run.
-    (A ``df.observe`` metric was rejected: AQE's empty-relation
-    propagation can prune the CollectMetrics node when every bucket is
-    dropped, which is precisely when the signal matters.)
+    not silent: returns ``(pairs, dropped)`` where ``dropped`` is the
+    lazy (id, band, bucket, bucket_size) audit of rows excluded by the
+    cap; count it to audit a run. (A ``df.observe`` metric was
+    rejected: AQE's empty-relation propagation can prune the
+    CollectMetrics node when every bucket is dropped, which is
+    precisely when the signal matters.)
     """
     bands = sig_df.select(
         id_col,
@@ -174,10 +207,10 @@ def lsh_candidate_pairs(
     right = bounded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = left.join(right, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b"))
     out = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands"))
-    out.dropped_bucket_members = sized.where(
-        F.col("_bsz") > max_bucket_size
-    ).select(id_col, "band", "bucket", F.col("_bsz").alias("bucket_size"))
-    return out
+    dropped = sized.where(F.col("_bsz") > max_bucket_size).select(
+        id_col, "band", "bucket", F.col("_bsz").alias("bucket_size")
+    )
+    return out, dropped
 
 
 def minhash_estimated_jaccard(
@@ -213,17 +246,16 @@ def minhash_dedup(
     threshold: float = 0.7,
     hash_mode: str = "xxhash",
     max_bucket_size: int = 1000,
-) -> DataFrame:
-    """End-to-end MinHash-LSH near-duplicate pairs:
+) -> DedupResult:
+    """End-to-end MinHash-LSH near-duplicate pairs: ``result.pairs`` =
     (id_a, id_b, n_bands, est_jaccard) with est_jaccard >= threshold.
 
-    Diagnostics on the result DataFrame:
-    - ``result.minhash_signatures`` — the persisted signature table;
-      callers that materialize the pairs should unpersist it afterwards
-      (or the cached blocks live until the session ends). On a cluster
-      this would be a scratch-table write instead of a cache.
-    - ``result.dropped_bucket_members`` — lazy audit of (id, band,
-      bucket, bucket_size) rows excluded by ``max_bucket_size``.
+    Returns a :class:`DedupResult`; ``result.signatures`` is the
+    persisted signature table — callers that materialize the pairs
+    should ``result.unpersist()`` afterwards (or the cached blocks live
+    until the session ends; on a cluster this would be a scratch-table
+    write instead of a cache), and ``result.dropped_bucket_members`` is
+    the lazy audit of rows excluded by ``max_bucket_size``.
     """
     assert num_perm % num_bands == 0, "num_perm must be divisible by num_bands"
     rows_per_band = num_perm // num_bands
@@ -232,12 +264,12 @@ def minhash_dedup(
     # estimate join); persist so raw text is shingled+hashed exactly
     # once — at scale this is the "signature table" materialization.
     sigs = sigs.persist()
-    pairs = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, max_bucket_size)
+    pairs, dropped = lsh_candidate_pairs(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+    )
     est = minhash_estimated_jaccard(sigs, pairs, id_col, num_perm)
     out = est.where(F.col("est_jaccard") >= F.lit(threshold))
-    out.minhash_signatures = sigs
-    out.dropped_bucket_members = pairs.dropped_bucket_members
-    return out
+    return DedupResult(pairs=out, dropped_bucket_members=dropped, signatures=sigs)
 
 
 def simhash(
@@ -362,9 +394,9 @@ def embedding_near_duplicates(
     hash_mode: str = "xxhash",
     brute_force: bool = False,
     max_bucket_size: int = 1000,
-) -> DataFrame:
+) -> DedupResult:
     """Cosine near-duplicate pairs over an embedding column:
-    (id_a, id_b, cosine) with cosine >= threshold.
+    ``result.pairs`` = (id_a, id_b, cosine) with cosine >= threshold.
 
     Scale path: banded sign-LSH — per band, a vector is bucketed by the
     sign pattern of ``num_planes`` deterministic pseudo-random
@@ -374,6 +406,19 @@ def embedding_near_duplicates(
     cosine c collides per band with prob (1 - acos(c)/pi)^num_planes,
     and misses only if all bands miss. Identical vectors always share
     every bucket.
+
+    Implementation by ``hash_mode``:
+    - ``"xxhash"`` (scale default): bucketing is ONE Arrow-batched
+      ``(batch x dim) @ (dim x bands*planes)`` matmul per batch against
+      a deterministic seeded plane matrix (built once per Python worker
+      — see :func:`_plane_matrix`), and candidate verification is the
+      Arrow einsum cosine. No interpreted higher-order functions
+      anywhere — the old ``F.transform``/``F.aggregate`` formulation
+      paid ``dim x planes x bands`` boxed multiply-adds per row.
+    - ``"md5"`` (oracle mode): hash-derived plane weights folded with
+      sequential ``aggregate`` expressions, bit-reproducible by the
+      DuckDB twin's ``list_sum(list_transform(...))``; verification via
+      the sequential-fold ``cosine_expr``. Correctness gate only.
 
     Scale knobs (100 TB):
     - candidate volume ~ n^2 * num_bands / 2^num_planes for unrelated
@@ -387,7 +432,7 @@ def embedding_near_duplicates(
     ``brute_force=True`` skips bucketing (exact; oracle/small-data
     mode).
     """
-    from gate_spark.operators.similarity import cosine_expr
+    from gate_spark.operators.similarity import cosine_expr, cosine_pairs_udf
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
@@ -395,22 +440,30 @@ def embedding_near_duplicates(
     if brute_force:
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        bucketed = df.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            _signature_bucket(
-                                F.col(vec_col), band, num_planes, hash_mode
-                            ).alias("bucket"),
-                        )
-                        for band in range(num_bands)
-                    ]
-                )
-            ).alias("_bb"),
-        ).select(id_col, "_bb.band", "_bb.bucket")
+        if hash_mode == "md5":
+            bucketed = df.select(
+                F.col(id_col),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(band).alias("band"),
+                                _signature_bucket_hof(
+                                    F.col(vec_col), band, num_planes, hash_mode
+                                ).alias("bucket"),
+                            )
+                            for band in range(num_bands)
+                        ]
+                    )
+                ).alias("_bb"),
+            ).select(id_col, "_bb.band", "_bb.bucket")
+        else:
+            bucketed = df.select(
+                F.col(id_col),
+                F.posexplode(
+                    _sign_buckets_udf(num_bands, num_planes)(F.col(vec_col))
+                ).alias("band", "bucket"),
+            )
         w = Window.partitionBy("band", "bucket")
         sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
         dropped = sized.where(F.col("_bsz") > max_bucket_size).select(
@@ -428,26 +481,71 @@ def embedding_near_duplicates(
             .distinct()
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
-    out = pairs.select("id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
+    cos = (
+        cosine_expr(F.col("_va"), F.col("_vb"))
+        if hash_mode == "md5"
+        else cosine_pairs_udf()(F.col("_va"), F.col("_vb"))
+    )
+    out = pairs.select("id_a", "id_b", cos.alias("cosine"))
     out = out.where(F.col("cosine") >= F.lit(threshold))
-    out.dropped_bucket_members = (
-        dropped
-        if dropped is not None
-        else df.select(
+    if dropped is None:
+        dropped = df.select(
             F.col(id_col),
             F.lit(0).alias("band"),
             F.lit("").alias("bucket"),
             F.lit(0).cast("long").alias("bucket_size"),
         ).limit(0)
-    )
-    return out
+    return DedupResult(pairs=out, dropped_bucket_members=dropped)
 
 
-def _signature_bucket(vec: Column, band: int, num_planes: int, hash_mode: str) -> Column:
-    """Sign-LSH bucket key for one band: for plane p, the weight of
-    dimension i is a deterministic hash of (band, p, i) mapped to the
-    SYMMETRIC range [-1, 1) via ``pmod`` (plain ``%`` keeps the sign of
-    a negative xxhash64, which would bias weights negative); the bucket
+@lru_cache(maxsize=32)
+def _plane_matrix(dim: int, num_planes: int, seed: int) -> "np.ndarray":
+    """Deterministic (dim x num_planes) hyperplane matrix, uniform in
+    [-1, 1). Seeded numpy RNG -> every Python worker on every executor
+    builds the SAME matrix from the same (dim, planes, seed) key; the
+    lru_cache makes it once per worker process, so nothing ships over
+    the wire at all (cheaper than a broadcast for O(dim x planes)
+    doubles, and keeps the UDF closure picklable)."""
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1.0, 1.0, size=(dim, num_planes))
+
+
+def _sign_buckets_udf(num_bands: int, num_planes: int, seed: int = 1000):
+    """Arrow-batched sign-LSH bucketing: returns an ``array<long>`` of
+    ``num_bands`` bucket keys per vector. All bands' plane projections
+    are ONE ``(batch x dim) @ (dim x bands*planes)`` float64 matmul;
+    each band's ``num_planes`` sign bits are packed into a single long
+    (requires num_planes <= 62). Identical vectors always share every
+    bucket; a zero vector projects to 0 on every plane and lands in the
+    all-ones bucket, same as the sign convention of the HOF/oracle
+    formulation (dot >= 0 -> bit 1)."""
+    assert num_planes <= 62, "num_planes must fit in a signed 64-bit bucket key"
+    total = num_bands * num_planes
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([[0] * num_bands] * len(v))
+        planes = _plane_matrix(x.shape[1], total, seed)
+        bits = (x @ planes) >= 0.0  # batch x (bands*planes)
+        bits = bits.reshape(len(x), num_bands, num_planes)
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        keys = (bits * weights).sum(axis=2)  # batch x bands
+        return pd.Series([r.tolist() for r in keys])
+
+    return buckets
+
+
+def _signature_bucket_hof(
+    vec: Column, band: int, num_planes: int, hash_mode: str
+) -> Column:
+    """Sign-LSH bucket key for one band — ORACLE-PARITY formulation
+    (interpreted higher-order functions; the scale path is
+    :func:`_sign_buckets_udf`). For plane p, the weight of dimension i
+    is a deterministic hash of (band, p, i) mapped to the SYMMETRIC
+    range [-1, 1) via ``pmod`` (plain ``%`` keeps the sign of a
+    negative xxhash64, which would bias weights negative); the bucket
     bit is the sign of the dot product. The fold is a sequential
     ``aggregate`` over the vector — bit-reproducible in a SQL oracle's
     ``list_sum(list_transform(range(dim), ...))``."""

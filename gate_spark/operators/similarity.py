@@ -4,9 +4,22 @@ Brute-force cosine top-k as the exactness baseline, and an IVF
 (inverted-file) variant as the scale path: vectors are assigned to the
 nearest of C coarse centroids (trained on a driver-side sample), the
 query probes only the ``nprobe`` nearest cells, and the candidate set
-shrinks by ~C/nprobe. All distance math is Catalyst ``zip_with`` /
-``aggregate`` expressions in double precision — no Python in the hot
-path; the centroid table is broadcast.
+shrinks by ~C/nprobe.
+
+Two scoring implementations, selected by ``impl``:
+
+- ``"arrow"`` (default, scale path): all vector math is Arrow-batched
+  numpy — one ``(batch x dim) @ (dim x queries)`` matmul per Arrow
+  batch against a broadcast query matrix, with per-batch partial top-k
+  (``O(batch)`` argpartition-style selection) so the final shuffle
+  carries ``batches x queries x k`` candidate rows, NOT the
+  ``|corpus| x |queries|`` score table, and no full sort ever runs
+  over it.
+- ``"hof"`` (oracle-parity mode): Catalyst ``zip_with``/``aggregate``
+  sequential-fold expressions whose double-precision evaluation order a
+  DuckDB ``list_sum(list_transform(...))`` twin reproduces bit-for-bit.
+  Higher-order functions are CodegenFallback (interpreted, boxed per
+  element) — correctness gate only, never the 100 TB path.
 """
 
 from __future__ import annotations
@@ -15,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -39,6 +53,61 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_pairs_udf():
+    """Arrow-batched pairwise cosine: one einsum per batch instead of
+    ``dim`` interpreted multiply-adds per row. Float64 throughout; a
+    zero-norm side yields inf/nan exactly like the HOF division."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = np.array(va.tolist(), dtype=np.float64)
+        y = np.array(vb.tolist(), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    return _cos
+
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-Arrow-batch partial top-k over a (query_id, neighbor_id,
+    cosine) table: each batch contributes at most k rows per query
+    (ordered cosine desc, neighbor_id asc), which is sufficient — every
+    global top-k row is by definition within the top-k of its own
+    batch. Runs with NO shuffle (mapInPandas is per-partition); the
+    downstream exact top-k then sorts only ``batches x queries x k``
+    rows instead of the full score table."""
+    schema = scored.schema
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    return scored.mapInPandas(gen, schema)
+
+
+def _finish_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact final top-k over the (already partially-reduced) candidate
+    table. The window sort here runs over metadata-scale input."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,38 +117,89 @@ def cosine_topk(
     query_id: str,
     query_vec: str,
     k: int = 10,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, cosine,
     rank), rank 1..k, self-match excluded, ties broken by neighbor id.
 
-    The query side is broadcast (queries are the small side by
-    construction); the corpus is scanned ONCE regardless of query
-    count. Top-k per query uses a window over the (|queries| x |corpus|)
-    score table — at scale, prefer many small query batches.
+    The query batch is collected and broadcast as one numpy matrix
+    (queries are small by contract — at scale, run many small query
+    batches); the corpus is scanned ONCE regardless of query count.
+
+    ``impl="arrow"``: per Arrow batch, scores = ``(X @ Q.T) / outer
+    (|x|, |q|)`` — a single BLAS matmul — followed by in-batch partial
+    top-k, so neither the |corpus| x |queries| score table nor a full
+    window sort ever materializes. ``impl="hof"`` keeps the
+    oracle-reproducible sequential-fold expression plan.
     """
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qv")
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
-    )
-    scored = (
-        c.join(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    if impl == "hof":
+        c = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("_cv")
         )
+        scored = (
+            c.join(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
+            )
+        )
+        return _finish_topk(scored, k)
+
+    spark = corpus.sparkSession
+    q_rows = q.collect()  # small-query-batch contract (documented above)
+    qids = np.array([r["query_id"] for r in q_rows])
+    qmat = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    if len(q_rows) == 0:
+        qmat = qmat.reshape(0, 0)
+    qnorm = np.linalg.norm(qmat, axis=1) if len(q_rows) else np.zeros(0)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    qid_type = queries.schema[query_id].dataType
+    nid_type = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type),
+            T.StructField("neighbor_id", nid_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+
+    def gen(batches):
+        b_qids, b_q, b_qn = bc.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            ids = pdf[corpus_id].to_numpy()
+            x = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = (x @ b_q.T) / (xn[:, None] * b_qn[None, :])
+            out_q, out_n, out_s = [], [], []
+            for j in range(nq):
+                s = scores[:, j]
+                mask = ids != b_qids[j]  # exclude self-match
+                cand_ids, cand_s = ids[mask], s[mask]
+                if len(cand_ids) == 0:
+                    continue
+                # exact in-batch top-k under (cosine desc, id asc):
+                # lexsort is stable and vectorized; batch-local n log n.
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([b_qids[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+                )
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+    return _finish_topk(cand, k)
 
 
 def train_ivf_centroids(
@@ -150,6 +270,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 2,
     centroids: np.ndarray | DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells: corpus rows are joined
     only against queries probing their cell. Same output schema as
@@ -160,6 +281,11 @@ def ivf_topk(
     order; centroid tables are metadata-scale by construction — or
     None to train k-means on a corpus sample. Cell ids are row indices
     0..C-1.
+
+    ``impl="arrow"`` scores candidate pairs with the Arrow-batched
+    einsum UDF and reduces them with per-batch partial top-k before the
+    final (metadata-scale) exact top-k; ``impl="hof"`` is the
+    interpreted sequential-fold oracle-parity mode.
     """
     spark = corpus.sparkSession
     if centroids is None:
@@ -179,20 +305,16 @@ def ivf_topk(
         F.col(query_vec).alias("_qv"),
         F.explode(query_cells(F.col(query_vec))).alias("cell"),
     )
+    score = (
+        cosine_expr(F.col("_qv"), F.col("_cv"))
+        if impl == "hof"
+        else cosine_pairs_udf()(F.col("_qv"), F.col("_cv"))
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", score.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    if impl != "hof":
+        scored = _partial_topk(scored, k)
+    return _finish_topk(scored, k)

@@ -39,7 +39,7 @@ def test_minhash_finds_planted_pairs(corpus, hash_mode):
     pairs = dd.minhash_dedup(
         corpus, "doc_id", "text",
         num_perm=32, num_bands=8, threshold=0.6, hash_mode=hash_mode,
-    ).toPandas()
+    ).pairs.toPandas()
     found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 100) in found
     assert (1, 101) in found
@@ -94,9 +94,9 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame(rows, ["vec_id", "vec"])
     out = dd.embedding_near_duplicates(
         df, "vec_id", "vec", threshold=0.999, brute_force=True
-    ).toPandas()
+    ).pairs.toPandas()
     assert {(a, b) for a, b in zip(out["id_a"], out["id_b"])} == {(0, 100)}
     lsh = dd.embedding_near_duplicates(
         df, "vec_id", "vec", threshold=0.999, num_planes=4
-    ).toPandas()
+    ).pairs.toPandas()
     assert (0, 100) in {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}

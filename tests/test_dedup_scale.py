@@ -71,13 +71,13 @@ def test_lsh_bucket_drop_is_observable(spark):
         num_perm=16, num_bands=4, threshold=0.0,
         max_bucket_size=10,
     )
-    assert pairs.count() == 0  # every bucket oversize -> all dropped
+    assert pairs.pairs.count() == 0  # every bucket oversize -> all dropped
     # 30 ids x 4 bands, all in oversized buckets
     assert pairs.dropped_bucket_members.count() == 120
     assert pairs.dropped_bucket_members.agg(
         F.max("bucket_size")
     ).first()[0] == 30
-    pairs.minhash_signatures.unpersist()
+    pairs.unpersist()
 
     # the embedding LSH path exposes the same audit
     import numpy as np
@@ -88,18 +88,18 @@ def test_lsh_bucket_drop_is_observable(spark):
         "vec_id", "vec", threshold=0.5,
         num_planes=4, num_bands=2, max_bucket_size=10,
     )
-    assert near.count() == 0  # identical vectors, but buckets capped
+    assert near.pairs.count() == 0  # identical vectors, but buckets capped
     assert near.dropped_bucket_members.count() == 50  # 25 ids x 2 bands
 
 
 def test_minhash_signature_cache_exposed(spark):
     rows = [(i, f"some text body number {i}") for i in range(20)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = dd.minhash_dedup(df, "doc_id", "text", num_perm=16, num_bands=4)
-    pairs.count()
-    sigs = pairs.minhash_signatures
+    res = dd.minhash_dedup(df, "doc_id", "text", num_perm=16, num_bands=4)
+    res.pairs.count()
+    sigs = res.signatures
     assert sigs.storageLevel.useMemory  # persisted
-    sigs.unpersist()
+    res.unpersist()
     assert not sigs.storageLevel.useMemory
 
 
@@ -118,12 +118,12 @@ def test_embedding_lsh_recall_vs_brute_force(spark):
     df = spark.createDataFrame(rows, ["vec_id", "vec"])
     exact = dd.embedding_near_duplicates(
         df, "vec_id", "vec", threshold=0.95, brute_force=True
-    ).toPandas()
+    ).pairs.toPandas()
     truth = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
     assert len(truth) >= 35  # most perturbations stay above 0.95
     lsh = dd.embedding_near_duplicates(
         df, "vec_id", "vec", threshold=0.95, num_planes=8, num_bands=8
-    ).toPandas()
+    ).pairs.toPandas()
     got = {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
     assert got <= truth  # exact verification: no false positives
     assert len(got & truth) / len(truth) >= 0.9

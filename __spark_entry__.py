@@ -62,6 +62,7 @@ def _summary_df(spark, sf_dir, table, pk, cols, extras=False) -> DataFrame:
         distinct_mode="exact",
         quantile_mode="nearest",
         extras=extras,
+        persist=False,
     )
     return s
 
@@ -156,6 +157,7 @@ def q_drift_scores_events(spark, sf_dir):
         partition_key="day",
         distinct_mode="exact",
         quantile_mode="nearest",
+        persist=False,
     )
     v = drift_scores(s, k=3)
     return v.select(
@@ -290,6 +292,7 @@ def q_embedding_dims(spark, sf_dir):
         partition_key="label",
         quantile_mode="nearest",
         compute_embedding_examples=False,
+        persist=False,
     )
     return s.df.select(
         "label", "column", *[_r6(F.col(c)).alias(c) for c in GATE_STATS]
@@ -305,6 +308,7 @@ def q_summarize_tokens(spark, sf_dir):
         partition_key="source",
         distinct_mode="exact",
         quantile_mode="nearest",
+        persist=False,
     )
     return s.df.select(
         "source", "column", *[_r6(F.col(c)).alias(c) for c in GATE_STATS]
@@ -415,6 +419,7 @@ def entry(spark: SparkSession) -> DataFrame:
         distinct_mode="approx",
         quantile_mode="approx",
         extras=True,
+        persist=False,
     )
     return s.df
 

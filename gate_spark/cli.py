@@ -18,10 +18,22 @@ runs outside spark-submit. The job:
 2. with ``--lineage``, resumes: partitions already committed for this
    (run-spec, snapshot) are pruned OUT of the input scan (pushed-down
    isin filter → partition pruning), so a restarted 10^12-row run
-   rescans nothing it already validated;
+   rescans nothing it already validated. Pruning does NOT narrow the
+   global checks: doc_id uniqueness probes pending keys against the
+   committed partitions' ids too (a column-pruned id-only scan — no
+   token-array decode; ``--no-global-unique`` opts out), and with
+   ``--sketch`` lineage, PSI/KS pools the committed partitions'
+   checkpointed fixed-edge histograms into the holdout while drift
+   scores pending partitions against ALL partitions via sketch-derived
+   summary rows (restricted to the moments-exact statistic subset —
+   see pipeline.SKETCH_STATS). Without sketch lineage, distribution /
+   drift verdicts are pending-scoped (reported as ``global_checks`` in
+   the JSON summary line);
 3. runs the one-scan ``validate_tokens`` pipeline on the pending
    partitions and writes verdicts / violations / summary / PSI-KS /
-   drift to ``--output``;
+   drift to ``--output`` — per-partition dirs with dynamic partition
+   overwrite, so a resumed run replaces only the partitions it
+   re-validated and the output always reflects the whole table;
 4. commits per-partition lineage rows (snapshot-id, partition spec,
    metrics, and with ``--sketch`` the mergeable sketch state
    (gate_spark/sketches.py) that lets ``merged_stats_from_lineage``
@@ -57,12 +69,33 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-drift", action="store_true")
     p.add_argument("--snapshot", default="auto", help="input snapshot id ('auto' = stamp)")
     p.add_argument("--sketch", action="store_true", help="commit mergeable sketch state")
+    p.add_argument(
+        "--no-global-unique", action="store_true",
+        help="on resume, skip the id-only scan of committed partitions that"
+        " keeps doc_id uniqueness global (falls back to pending-local)",
+    )
     p.add_argument("--app-name", default="gate_spark_validate")
     p.add_argument(
         "--local-cores", type=int, default=None,
         help="run without spark-submit on local[N] (ad-hoc/debug only)",
     )
     return p
+
+
+def _drop_partition_dirs(
+    spark: SparkSession, base: str, col: str, parts: list[str]
+) -> None:
+    """Delete ``{base}/{col}={p}`` for each partition — Hadoop
+    FileSystem API, so it works on local paths, HDFS and s3a alike."""
+    if not parts:
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in parts:
+        path = jvm.org.apache.hadoop.fs.Path(f"{base}/{col}={p}")
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
 
 
 def _get_session(args) -> SparkSession:
@@ -137,10 +170,40 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(summary_line))
         return 0
 
-    if len(pending) < len(all_parts):
+    external_keys = None
+    history_sketches = None
+    hist_edges = None
+    committed = [p for p in all_parts if p not in pending]
+    if committed:
         # pushed-down membership filter -> partition pruning on a
-        # source-partitioned table: completed partitions are never read
+        # source-partitioned table: completed partitions' ARRAYS are
+        # never read (the optional global-uniqueness probe below scans
+        # their id column only)
+        full_df = df
         df = df.where(F.col(args.partition_key).isin(pending))
+        if not args.no_global_unique:
+            # global uniqueness across resume boundaries: pending keys
+            # are checked against committed partitions' ids too
+            external_keys = full_df.where(
+                F.col(args.partition_key).isin(committed)
+            ).select(args.doc_id_col)
+        if store is not None and args.sketch:
+            payload = store.sketch_state(
+                run_spec, None if stamps else snapshot, stamps or None
+            )
+            payload = {p: s for p, s in payload.items() if p in committed}
+            if payload:
+                history_sketches = sk.sketches_from_json(spark, payload)
+                erow = (
+                    history_sketches.where(
+                        (F.col("column") == args.n_tok_col)
+                        & F.col("edges").isNotNull()
+                    )
+                    .select("edges")
+                    .first()
+                )
+                if erow is not None:
+                    hist_edges = list(erow["edges"])
 
     result = validate_tokens(
         df,
@@ -152,18 +215,59 @@ def main(argv: list[str] | None = None) -> int:
         vocab=(lo, hi),
         distinct_mode=args.distinct_mode,
         quantile_mode=args.quantile_mode,
-        compute_drift=not args.no_drift and len(pending) >= 6,
+        compute_drift=not args.no_drift
+        and (len(pending) + (0 if history_sketches is None else len(committed))) >= 6,
+        external_dup_keys=external_keys,
+        hist_edges=hist_edges,
+        history_sketches=history_sketches,
+    )
+    summary_line["global_checks"] = (
+        "full"
+        if not committed
+        else (
+            "unique"
+            if external_keys is not None and history_sketches is None
+            else (
+                "unique+drift"
+                if external_keys is not None
+                else ("drift" if history_sketches is not None else "pending-only")
+            )
+        )
     )
     out = args.output.rstrip("/")
-    result.verdicts.write.mode("overwrite").parquet(f"{out}/verdicts")
-    result.violations.write.mode("overwrite").parquet(f"{out}/violations")
-    result.summary.df.write.mode("overwrite").parquet(f"{out}/summary")
-    result.distribution.write.mode("overwrite").parquet(f"{out}/distribution")
-    if result.drift is not None:
-        result.drift.write.mode("overwrite").parquet(f"{out}/drift")
+    # per-partition dirs + dynamic overwrite: a resumed run replaces
+    # ONLY the partitions it re-validated — previously committed
+    # partitions' outputs survive (the --output contract reflects the
+    # whole table after any resume, not the last pending subset)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.verdicts.write.mode("overwrite").partitionBy("partition").parquet(
+            f"{out}/verdicts"
+        )
+        result.violations.write.mode("overwrite").partitionBy("partition").parquet(
+            f"{out}/violations"
+        )
+        result.summary.df.write.mode("overwrite").partitionBy(
+            args.partition_key
+        ).parquet(f"{out}/summary")
+        result.distribution.write.mode("overwrite").partitionBy(
+            "partition"
+        ).parquet(f"{out}/distribution")
+        if result.drift is not None:
+            result.drift.write.mode("overwrite").partitionBy("partition").parquet(
+                f"{out}/drift"
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     # per-partition metrics from the (metadata-scale) verdict table
     verdict_rows = result.verdicts.collect()
+    if result.drift is None:
+        # a resumed run that skipped drift must not leave the pending
+        # partitions' OLD drift rows in place (they describe data this
+        # run just re-validated)
+        _drop_partition_dirs(spark, f"{out}/drift", "partition", pending)
     metrics: dict[str, dict] = {}
     failed = 0
     for r in verdict_rows:
@@ -173,6 +277,12 @@ def main(argv: list[str] | None = None) -> int:
         m["violations"] += int(r["violation_count"])
         failed += int(not r["passed"])
     summary_line["constraint_failures"] = failed
+    # dynamic overwrite only replaces partitions PRESENT in the new
+    # data: a re-validated partition whose violations dropped to zero
+    # writes no rows, so its stale violation dir must be cleared
+    # explicitly
+    clean = [p for p in pending if metrics.get(p, {}).get("violations", 0) == 0]
+    _drop_partition_dirs(spark, f"{out}/violations", "partition", clean)
 
     if store:
         payload = None
@@ -181,11 +291,17 @@ def main(argv: list[str] | None = None) -> int:
                 sk.column_sketches(
                     result.slim.select(
                         F.col("_pk").alias(args.partition_key),
-                        F.col("n_tok"),
+                        F.col("n_tok").alias(args.n_tok_col),
+                        F.col("tok_len").alias(args.tokens_col),
                         F.col("_key").alias(args.doc_id_col),
                     ),
-                    ["n_tok", args.doc_id_col],
+                    [args.n_tok_col, args.tokens_col, args.doc_id_col],
                     args.partition_key,
+                    # fixed-edge histogram in lineage: a future resume
+                    # pools committed partitions into the PSI/KS holdout
+                    # (mergeable only under shared edges, so the edges
+                    # ride along in the sketch rows)
+                    hist_edges={args.n_tok_col: result.hist_edges},
                 )
             )
         store.mark_completed(

@@ -406,7 +406,13 @@ def drift_scores(summary: Summary, k: int = 3) -> DataFrame:
     )
 
 
-def drift_scores_driver(summary: Summary, k: int = 3) -> DataFrame:
+def drift_scores_driver(
+    summary: Summary,
+    k: int = 3,
+    *,
+    history: "pd.DataFrame | None" = None,
+    restrict_stats: list[str] | None = None,
+) -> DataFrame:
     """Driver-side fast path of :func:`drift_scores`: ONE collect of
     the (persisted, metadata-scale) summary table, then melt / z-score
     / kNN / percentile entirely in pandas+numpy — numerically the same
@@ -414,10 +420,29 @@ def drift_scores_driver(summary: Summary, k: int = 3) -> DataFrame:
     drift_scores in tests), but without ~4 extra metadata-scale Spark
     stages of pure scheduling latency per validation pass. Use inside
     orchestrated jobs (pipeline.validate_tokens); the Spark
-    formulation remains the oracle-gated surface."""
+    formulation remains the oracle-gated surface.
+
+    ``history``: extra summary-format rows (pandas; same partition-key
+    and column names) appended to the live summary before z-scoring —
+    the resume path scores pending partitions against ALL partitions by
+    reconstructing committed partitions' rows from checkpointed sketch
+    state (checkpoint.merged_stats_from_lineage lineage). Scores are
+    returned for every partition (live + history); the caller filters.
+    ``restrict_stats``: intersect the feature space with these
+    statistic names — sketch state carries exact moments but not
+    occurrence_ratio/quantiles, so global-resume scoring restricts both
+    sides to the shared feature set (documented narrowing).
+    """
     pk = summary.partition_key
     statistics = summary.statistics()
+    if restrict_stats is not None:
+        statistics = [s for s in statistics if s in restrict_stats]
     pdf = summary.df.toPandas()
+    if history is not None and len(history):
+        pdf = pd.concat(
+            [pdf[[pk, "column"] + statistics], history[[pk, "column"] + statistics]],
+            ignore_index=True,
+        )
     melted = pdf.melt(
         id_vars=[pk, "column"],
         value_vars=statistics,

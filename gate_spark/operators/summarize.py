@@ -180,6 +180,7 @@ def summarize(
     compute_embedding_examples: bool = True,
     skew_salt: int | None = None,  # explicit two-phase salted aggregation
     quantile_columns: Sequence[str] | None = None,
+    persist: bool = True,
 ) -> Summary:
     """Compute per-partition summaries (reference entry point:
     gate/summarize.py:49-117 -> Summary.fromRaw gate/summary.py:148-403).
@@ -259,9 +260,13 @@ def summarize(
     # usual consumer sequence (partitions() -> drift collect -> value())
     # pays for ONE scan of the raw table, not one per action. At 300
     # summarized columns this is a >2x end-to-end saving; release via
-    # Summary.unpersist(). (Streaming inputs cannot persist — the
-    # streaming path in streaming.py has its own incremental topology.)
-    if not df.isStreaming:
+    # Summary.unpersist(). Long-lived sessions that summarize many
+    # tables and never unpersist accumulate cached lineage pinning full
+    # input aggregations — single-action consumers should pass
+    # ``persist=False`` instead (the cache buys nothing for one
+    # action). (Streaming inputs cannot persist — the streaming path in
+    # streaming.py has its own incremental topology.)
+    if persist and not df.isStreaming:
         out = out.persist()
     return Summary(
         df=out,

@@ -68,6 +68,15 @@ def _psi_ks_driver(hist, spark, psi_threshold: float, ks_threshold: float):
     )
 
 
+# summary statistics reconstructible exactly from mergeable sketch
+# moments (occurrence_ratio and quantiles are not): the shared feature
+# space for global-resume drift scoring.
+SKETCH_STATS = [
+    "coverage", "mean", "num_unique_values", "count", "max", "min",
+    "null_fraction", "stddev",
+]
+
+
 @dataclass
 class TokenValidationResult:
     summary: Summary
@@ -77,6 +86,7 @@ class TokenValidationResult:
     drift: DataFrame | None
     slim: DataFrame
     flagged_cache: DataFrame | None = None
+    hist_edges: list | None = None
 
     def unpersist(self) -> None:
         self.slim.unpersist()
@@ -114,6 +124,9 @@ def validate_tokens(
     ks_threshold: float = 0.2,
     truncate_lineage: bool = False,
     broadcast_dupes_threshold: int = 2_000_000,
+    external_dup_keys: DataFrame | None = None,
+    hist_edges: list[float] | None = None,
+    history_sketches: DataFrame | None = None,
 ) -> TokenValidationResult:
     """One-scan validation of a (doc_id, tokens, n_tok, source) table.
 
@@ -121,6 +134,29 @@ def validate_tokens(
     size(tokens), source-domain membership, vocab-range bounds.
     Verdicts: (partition, constraint, violation_count, row_count,
     passed). Violations: (partition, constraint, key, detail).
+
+    Resume-aware global checks (``df`` pruned to pending partitions):
+
+    - ``external_dup_keys``: one-column DataFrame of doc ids present in
+      already-validated partitions. A pending key that matches one is a
+      uniqueness violation even if unique within the pruned input, so
+      resumed runs keep doc_id uniqueness GLOBAL instead of silently
+      partition-local. The check is a column-pruned id-only scan of the
+      committed partitions (no token-array decode).
+    - ``hist_edges``: pin the PSI/KS inner bin edges (e.g. to the edges
+      committed in sketch lineage) instead of deriving them from the
+      pending data's min/max — shared edges make histograms mergeable
+      across runs.
+    - ``history_sketches``: sketches.SKETCH_SCHEMA rows for committed
+      partitions (from checkpoint.CheckpointStore.sketch_state). PSI/KS
+      then pools the committed partitions' fixed-edge histograms into
+      the holdout, and drift scores pending partitions against ALL
+      partitions via sketch-derived summary rows, restricted to the
+      ``SKETCH_STATS`` feature subset (occurrence_ratio / quantiles are
+      not reconstructible from moments — documented narrowing). Rows
+      for committed partitions are filtered OUT of the returned
+      ``distribution`` / ``drift`` tables: their verdicts stand from
+      the run that validated them.
     """
     lo, hi = vocab
     tokens = F.col(tokens_col)
@@ -185,8 +221,25 @@ def validate_tokens(
         slim.groupBy("_key")
         .agg(F.count(F.lit(1)).alias("_dup"))
         .where(F.col("_dup") > 1)
-        .persist()  # consumed by count + 2 joins; rows bounded below
     )
+    if external_dup_keys is not None:
+        # global uniqueness on resume: a pending key that also exists in
+        # an already-committed partition is a duplicate even when unique
+        # within the pruned input. left_semi keeps the probe side at
+        # (distinct pending keys), never data-scale x committed-scale.
+        ext = external_dup_keys.select(
+            F.col(external_dup_keys.columns[0]).cast(slim.schema["_key"].dataType).alias("_key")
+        )
+        cross = (
+            slim.select("_key")
+            .distinct()
+            .join(ext, "_key", "left_semi")
+            .select("_key", F.lit(2).cast("long").alias("_dup"))
+        )
+        dupes = (
+            dupes.unionByName(cross).groupBy("_key").agg(F.max("_dup").alias("_dup"))
+        )
+    dupes = dupes.persist()  # consumed by count + 2 joins; rows bounded below
     dup_count = dupes.count()
     if dup_count <= broadcast_dupes_threshold:
         flagged = slim.join(F.broadcast(dupes), "_key", "left")
@@ -292,24 +345,46 @@ def validate_tokens(
     # like the reference's drift kernels. The standalone
     # distribution_drift keeps the all-DataFrame formulation (it is the
     # oracle-gated variant).
-    mm = (
-        summary.df.where(F.col("column") == n_tok_col)
-        .agg(F.min("min").alias("lo"), F.max("max").alias("hi"))
-        .first()
-    )
-    lo_v = float(mm["lo"]) if mm["lo"] is not None else 0.0
-    hi_v = float(mm["hi"]) if mm["hi"] is not None else lo_v + 1.0
-    step = (hi_v - lo_v) / num_bins or 1.0
-    edges = [lo_v + i * step for i in range(1, num_bins)]
+    if hist_edges is not None:
+        edges = [float(e) for e in hist_edges]
+    else:
+        mm = (
+            summary.df.where(F.col("column") == n_tok_col)
+            .agg(F.min("min").alias("lo"), F.max("max").alias("hi"))
+            .first()
+        )
+        lo_v = float(mm["lo"]) if mm["lo"] is not None else 0.0
+        hi_v = float(mm["hi"]) if mm["hi"] is not None else lo_v + 1.0
+        step = (hi_v - lo_v) / num_bins or 1.0
+        edges = [lo_v + i * step for i in range(1, num_bins)]
     hist = partition_histograms(slim, "_pk", "n_tok", edges)
+    history_parts: list[str] = []
+    if history_sketches is not None:
+        hh, history_parts = _history_histograms(history_sketches, n_tok_col, edges)
+        if hh is not None:
+            hist = hist.select(
+                F.col("partition").cast("string").alias("partition"), "bin", "bin_count"
+            ).unionByName(hh)
     distribution = _psi_ks_driver(
         hist, df.sparkSession, psi_threshold, ks_threshold
     )
+    if history_parts:
+        distribution = distribution.where(~F.col("partition").isin(history_parts))
 
     # driver-side fast path (one collect of the cached metadata-scale
     # summary instead of ~4 scheduled Spark stages; pinned equal to
     # the Spark drift_scores formulation in test_pipeline.py)
-    drift = drift_scores_driver(summary, k=drift_k) if compute_drift else None
+    drift = None
+    if compute_drift:
+        if history_sketches is not None:
+            hist_pdf = _history_summary_pdf(history_sketches, partition_key)
+            drift = drift_scores_driver(
+                summary, k=drift_k, history=hist_pdf, restrict_stats=SKETCH_STATS
+            )
+            if history_parts:
+                drift = drift.where(~F.col("partition").isin(history_parts))
+        else:
+            drift = drift_scores_driver(summary, k=drift_k)
 
     return TokenValidationResult(
         summary=summary,
@@ -319,4 +394,61 @@ def validate_tokens(
         drift=drift,
         slim=slim,
         flagged_cache=flagged_cached,
+        hist_edges=edges,
     )
+
+
+def _history_histograms(
+    history_sketches: DataFrame, n_tok_col: str, edges: list[float]
+):
+    """(partition, bin, bin_count) rows for committed partitions from
+    their checkpointed fixed-edge histograms, plus the list of history
+    partition names. Returns (None, parts) when the lineage carries no
+    histogram for ``n_tok_col`` or its edges differ from ``edges``
+    (mergeable only under shared edges)."""
+    rows = history_sketches.where(F.col("column") == n_tok_col).select(
+        "partition", "hist", "edges"
+    ).collect()  # metadata-scale: one row per committed partition
+    parts = [str(r["partition"]) for r in rows]
+    out = []
+    for r in rows:
+        if r["hist"] is None or r["edges"] is None:
+            return None, parts
+        if len(r["edges"]) != len(edges) or any(
+            abs(a - b) > 1e-9 * max(1.0, abs(b)) for a, b in zip(r["edges"], edges)
+        ):
+            return None, parts
+        for b, cnt in enumerate(r["hist"]):
+            if cnt:
+                out.append((str(r["partition"]), b, int(cnt)))
+    if not out:
+        return None, parts
+    spark = history_sketches.sparkSession
+    return (
+        spark.createDataFrame(out, "partition string, bin int, bin_count long"),
+        parts,
+    )
+
+
+def _history_summary_pdf(history_sketches: DataFrame, partition_key: str):
+    """Summary-format pandas rows (SKETCH_STATS feature set) for
+    committed partitions, derived from their mergeable sketch moments —
+    the no-rescan half of global drift scoring on resume."""
+    from gate_spark.sketches import merge_sketches
+
+    per_part = merge_sketches(history_sketches, by=["partition"])
+    pdf = per_part.select(
+        F.col("partition").alias(partition_key),
+        "column",
+        "coverage",
+        "mean",
+        F.col("ndv").cast("double").alias("num_unique_values"),
+        F.col("n").cast("double").alias("count"),
+        "max",
+        "min",
+        (1.0 - F.col("n").cast("double") / F.col("rows").cast("double")).alias(
+            "null_fraction"
+        ),
+        "stddev",
+    ).toPandas()
+    return pdf

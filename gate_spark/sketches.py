@@ -194,27 +194,47 @@ def merge_sketches(sketches: DataFrame, by: list[str] | None = None) -> DataFram
 
 
 def quantiles_from_hist(
-    hist: list[int], inner_edges: list[float], qs: list[float]
+    hist: list[int],
+    inner_edges: list[float],
+    qs: list[float],
+    *,
+    vmin: float | None = None,
+    vmax: float | None = None,
 ) -> list[float]:
     """Approximate quantiles from a merged fixed-edge histogram: the
     value of the first edge whose cumulative count reaches q*total
-    (each bin is attributed to its upper edge; the last open bin to the
-    last edge). Driver-side math on a <=few-hundred-entry array."""
+    (each bin is attributed to its upper edge). Driver-side math on a
+    <=few-hundred-entry array.
+
+    A quantile whose mass lands in the OPEN top bin (above the last
+    inner edge) is genuinely unknown from the histogram — it returns
+    ``vmax`` when provided (the merged moments carry the true max
+    alongside the hist) and +inf otherwise, never a silent clamp to the
+    last finite edge. Symmetrically, q=0 returns ``vmin``/-inf instead
+    of the first edge, and empty leading bins are skipped (a target of
+    0 must not resolve to an edge holding no mass)."""
     total = sum(hist)
     if total == 0:
         return [float("nan") for _ in qs]
-    edges = list(inner_edges) + [inner_edges[-1] if inner_edges else 0.0]
     out = []
     for q in qs:
         target = q * total
         acc = 0
-        val = edges[-1]
-        for cnt, e in zip(hist, edges):
+        val = None
+        for cnt, e in zip(hist, inner_edges):
             acc += cnt
-            if acc >= target:
-                val = e
+            if acc >= target and acc > 0:
+                val = float(e)
                 break
-        out.append(float(val))
+        if val is None:
+            if q <= 0:
+                # every bin before the first massed one was empty
+                val = float(vmin) if vmin is not None else float("-inf")
+            else:
+                # mass falls in the open top bin: the hist cannot bound
+                # it from above
+                val = float(vmax) if vmax is not None else float("inf")
+        out.append(val)
     return out
 
 

@@ -79,6 +79,25 @@ def test_quantiles_from_hist(spark, docs):
     assert abs(p95 - exact[1]) <= 50.0
 
 
+def test_quantiles_from_hist_open_top_bin():
+    """Mass above the last inner edge must not be clamped to that edge
+    (ADVICE r2): it resolves to the supplied true max, else +inf."""
+    # 10 values total: 2 below edge 10, 8 in the open top bin
+    hist, edges = [2, 8], [10.0]
+    p20, p95 = sk.quantiles_from_hist(hist, edges, [0.2, 0.95], vmax=400.0)
+    assert p20 == 10.0
+    assert p95 == 400.0  # NOT 10.0
+    (p95_inf,) = sk.quantiles_from_hist(hist, edges, [0.95])
+    assert p95_inf == float("inf")
+    # degenerate: no inner edges at all -> nothing is bounded
+    (p50,) = sk.quantiles_from_hist([10], [], [0.5], vmax=7.0)
+    assert p50 == 7.0
+    # q=0 with an empty first bin skips it instead of reporting an
+    # edge that holds no mass
+    (q0,) = sk.quantiles_from_hist([0, 5, 1], [1.0, 2.0], [0.0])
+    assert q0 == 2.0
+
+
 def test_sketch_json_round_trip(spark, docs):
     skt = sk.column_sketches(
         docs, ["n_chars", "lang"], "source",

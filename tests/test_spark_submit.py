@@ -137,5 +137,42 @@ def test_cli_per_partition_incremental(spark, tmp_path, capsys):
 
     j3 = run()
     assert j3["pending"] == 1  # only src7 re-validates
+    # the resumed run must NOT clobber previously validated partitions'
+    # outputs: verdicts/summary still cover all 20 partitions
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.select("partition").distinct().count() == 20
+    assert verdicts.count() == 20 * 4
+    assert (
+        spark.read.parquet(f"{out}/summary").select("source").distinct().count()
+        == 20
+    )
     j4 = run()
     assert j4["status"] == "up-to-date"
+
+    # global uniqueness across the resume boundary: append a doc to
+    # src7 whose doc_id already exists in a COMMITTED partition — the
+    # pruned run must still flag it (ADVICE r2: resume previously made
+    # unique_doc_id partition-local)
+    stolen = (
+        spark.read.parquet(data)
+        .where("source = 'src3'")
+        .select("doc_id")
+        .first()[0]
+    )
+    spark.createDataFrame(
+        [(stolen, [1, 2, 3], 3, "src7")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.partitionBy("source").mode("append").parquet(data)
+    j5 = run()
+    assert j5["pending"] == 1
+    assert j5["global_checks"] in ("unique", "unique+drift")
+    v7 = (
+        spark.read.parquet(f"{out}/verdicts")
+        .where("partition = 'src7' AND constraint = 'unique_doc_id'")
+        .first()
+    )
+    assert v7["violation_count"] >= 1 and not v7["passed"]
+    viol = spark.read.parquet(f"{out}/violations").where(
+        "partition = 'src7' AND constraint = 'unique_doc_id'"
+    )
+    assert viol.where(viol.key == stolen).count() >= 1

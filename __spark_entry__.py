@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gate_spark import oracles
 from gate_spark.operators.summarize import summarize
-from gate_spark.operators.drift import normalize, drift_scores
+from gate_spark.operators.drift import normalize, drift_scores, drifted_columns_df
 from gate_spark.operators.distribution import distribution_drift
 from gate_spark.operators.constraints import (
     ExpressionConstraint,
@@ -147,6 +147,15 @@ def q_zscores_lineitem(spark, sf_dir):
     s = _summary_df(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
     z = normalize(s.df, "l_returnflag", GATE_STATS)
     return z.select("l_returnflag", "column", "statistic", _r6(F.col("value")).alias("z"))
+
+
+def q_drifted_columns(spark, sf_dir):
+    """The user-facing 'which columns drifted' answer (D13/D16): per-
+    column top-|z| with window dedup + limit, Spark formulation pinned
+    against the pandas DriftResult.drifted_columns in test_drift.py."""
+    s = _summary_df(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
+    out = drifted_columns_df(s, "R", limit=3)
+    return out.select("column", "statistic", _r6(F.col("z")).alias("z"), "rank")
 
 
 def q_drift_scores_events(spark, sf_dir):
@@ -429,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_lineitem": q_summarize_lineitem,
         "summarize_orders_extras": q_summarize_orders_extras,
         "zscores_lineitem": q_zscores_lineitem,
+        "drifted_columns": q_drifted_columns,
         "drift_scores_events": q_drift_scores_events,
         "psi_ks_lineitem": q_psi_ks_lineitem,
         "constraints_orders": q_constraints_orders,
@@ -463,6 +473,12 @@ def oracle_sql() -> dict[str, str]:
         "zscores_lineitem": oracles.zscore_sql(
             oracles.summary_sql("lineitem", "l_returnflag", LINEITEM_COLS, round6=False),
             "l_returnflag",
+        ),
+        "drifted_columns": oracles.drifted_columns_sql(
+            oracles.summary_sql("lineitem", "l_returnflag", LINEITEM_COLS, round6=False),
+            "l_returnflag",
+            "R",
+            limit=3,
         ),
         "drift_scores_events": oracles.knn_drift_scores_sql(
             oracles.summary_sql(

@@ -475,6 +475,50 @@ def drift_scores_driver(
     )
 
 
+def drifted_columns_df(
+    summary: Summary, current_partition, limit: int = 10
+) -> DataFrame:
+    """Spark formulation of ``DriftResult.drifted_columns`` (D13/D16,
+    reference: gate/drift.py:144-236 drill-down ranking + :247-303
+    per-column dedup), for the non-clustered path: every (column,
+    statistic) z-score of the current partition (missing pairs fill to
+    0.0, mirroring the pandas pivot fillna), the top-|z| statistic per
+    column (ties to the lexicographically first statistic — the stable
+    order the pandas pivot yields), ranked by |z| descending with
+    column-name tiebreak, cut to ``limit``.
+
+    Z-scores span every partition in ``summary`` — pre-filter the
+    summary (``summary.df.where(...)``) to mirror detect_drift's
+    validity vector / trailing window restrictions.
+
+    Output: (column, statistic, z, rank), rank 1..limit. Window sorts
+    here run over the metadata-scale z table (columns x statistics
+    rows), never over data — the global-ordering window is single-
+    partition by construction and holds at any table width that fits a
+    summary."""
+    pk = summary.partition_key
+    stats = summary.statistics()
+    z = normalize(summary.df, pk, stats)
+    pairs = z.select("column", "statistic").distinct()
+    cur = pairs.join(
+        z.where(F.col(pk) == F.lit(current_partition)).select(
+            "column", "statistic", "value"
+        ),
+        ["column", "statistic"],
+        "left",
+    ).withColumn("z", F.coalesce(F.col("value"), F.lit(0.0)))
+    w_col = Window.partitionBy("column").orderBy(
+        F.abs(F.col("z")).desc(), F.col("statistic").asc()
+    )
+    top = cur.withColumn("_rn", F.row_number().over(w_col)).where(F.col("_rn") == 1)
+    w_all = Window.orderBy(F.abs(F.col("z")).desc(), F.col("column").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w_all))
+        .where(F.col("rank") <= limit)
+        .select("column", "statistic", "z", "rank")
+    )
+
+
 def name_to_ec(name: str, embedding_columns: list[str]) -> str:
     """Strip a trailing _{i} dimension suffix back to the embedding
     column base name (reference: gate/drift.py:306-325)."""

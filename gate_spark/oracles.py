@@ -135,6 +135,53 @@ SELECT {pk}, "column", statistic,
 FROM melted WINDOW w AS (PARTITION BY "column", statistic)"""
 
 
+def drifted_columns_sql(
+    summary_subquery: str,
+    pk: str,
+    current: str,
+    limit: int = 10,
+    stats: list[str] | None = None,
+) -> str:
+    """Twin of gate_spark drifted_columns_df (D13/D16): current
+    partition's z-scores, missing (column, statistic) pairs filled with
+    0.0, top-|z| statistic per column (statistic-name tiebreak), ranked
+    by |z| desc with column-name tiebreak, cut to ``limit``."""
+    stats = stats or GATE_STATS
+    melts = [
+        f"SELECT {pk}, \"column\", '{s}' AS statistic, CAST({s} AS DOUBLE) AS value"
+        f" FROM summ WHERE {s} IS NOT NULL"
+        for s in stats
+    ]
+    melted = "\nUNION ALL\n".join(melts)
+    return f"""WITH summ AS ({summary_subquery}),
+melted AS ({melted}),
+z AS (
+  SELECT {pk} AS pk, "column", statistic,
+    (value - avg(value) OVER w) / (stddev_samp(value) OVER w + 1e-10) AS z
+  FROM melted WINDOW w AS (PARTITION BY "column", statistic)
+),
+pairs AS (SELECT DISTINCT "column", statistic FROM z),
+cur AS (
+  SELECT p."column", p.statistic, COALESCE(c.z, 0.0) AS z
+  FROM pairs p
+  LEFT JOIN (SELECT * FROM z WHERE pk = '{current}') c
+    ON p."column" = c."column" AND p.statistic = c.statistic
+),
+top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY "column" ORDER BY abs(z) DESC, statistic ASC
+  ) AS rn FROM cur
+),
+ranked AS (
+  SELECT "column", statistic, z, CAST(row_number() OVER (
+    ORDER BY abs(z) DESC, "column" ASC
+  ) AS INT) AS rank
+  FROM top WHERE rn = 1
+)
+SELECT "column", statistic, {_f6('z')} AS z, rank
+FROM ranked WHERE rank <= {limit}"""
+
+
 def knn_drift_scores_sql(summary_subquery: str, pk: str, k: int = 3,
                          stats: list[str] | None = None) -> str:
     """Twin of gate_spark drift_scores(): z-score features (nulls->0),

@@ -82,3 +82,26 @@ def test_drift_scores_dataframe(medium_df, df_with_drift):
     v1 = drift_scores(s1, k=3).toPandas().sort_values("score")
     assert v1.iloc[-1]["partition"].startswith("2022-01-10")
     assert v1.iloc[-1]["is_drifted"]
+
+
+def test_drifted_columns_df_matches_pandas(df_with_drift):
+    """The Spark drifted_columns_df formulation (oracle-gated as the
+    drifted_columns query) reproduces the driver-side pandas
+    DriftResult.drifted_columns exactly on the non-clustered path."""
+    from gate_spark.operators.drift import drifted_columns_df
+
+    s = summarize(df_with_drift, columns=COLS3, partition_key="date",
+                  distinct_mode="exact", quantile_mode="nearest")
+    r = detect_drift(s, cluster=False)
+    want = r.drifted_columns(limit=3).reset_index()
+
+    got = (
+        drifted_columns_df(s, r.current_partition, limit=3)
+        .orderBy("rank")
+        .toPandas()
+    )
+    assert list(got["column"]) == list(want["column"])
+    assert list(got["statistic"]) == list(want["statistic"])
+    for a, b in zip(got["z"], want["z-score"]):
+        assert abs(a - b) < 1e-9
+    s.unpersist()

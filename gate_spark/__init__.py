@@ -57,6 +57,7 @@ from gate_spark.iceberg import (
     iceberg_session_conf,
     parquet_snapshot_stamp,
     read_table,
+    write_table,
 )
 
 __all__ = [
@@ -96,6 +97,7 @@ __all__ = [
     "iceberg_session_conf",
     "parquet_snapshot_stamp",
     "read_table",
+    "write_table",
 ]
 
 __version__ = "0.1.0"

@@ -86,6 +86,58 @@ def read_table(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.table(source)
 
 
+def _is_path(source: str) -> bool:
+    return (
+        os.path.sep in source or source.startswith("file:") or os.path.isdir(source)
+    )
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    catalog: str | None = None,
+    _available: bool | None = None,
+) -> str:
+    """Sink dispatch (SURVEY.md §2.6 sinks), the write twin of
+    :func:`read_table`: a filesystem path writes a parquet directory;
+    a table identifier writes through the DataFrameWriterV2
+    ``writeTo`` API as an Iceberg table when the runtime is present
+    (``createOrReplace``/``append`` — ACID snapshot commits, so
+    concurrent readers never see a half-written summary/lineage
+    table), else falls back to ``saveAsTable`` in the session catalog.
+    Returns which sink ran: ``"parquet"`` | ``"iceberg"`` | ``"table"``.
+
+    ``_available`` overrides runtime detection (tests exercise both
+    dispatch branches without an Iceberg jar)."""
+    if _is_path(target):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+        return "parquet"
+    avail = iceberg_available(df.sparkSession) if _available is None else _available
+    if avail:
+        from pyspark.sql import functions as F
+
+        name = f"{catalog}.{target}" if catalog else target
+        writer = df.writeTo(name).using("iceberg")
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+        return "iceberg"
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(target)
+    return "table"
+
+
 def parquet_snapshot_stamp(path: str) -> str:
     """Deterministic content stamp of a parquet directory: sha256 over
     every data file's (relative name, size, mtime_ns). Changes iff the

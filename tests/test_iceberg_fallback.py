@@ -69,3 +69,63 @@ def test_checkpoint_invalidation_via_stamp(spark, tmp_path):
         "src0",
         "src1",
     ]
+
+
+def test_write_table_dispatch_both_branches(spark, tmp_path):
+    """Sink seam (SURVEY §2.6): path -> parquet; table id -> Iceberg
+    writeTo when the runtime is present (recorded via a fake v2 writer
+    — no jar in the sandbox), else session-catalog saveAsTable."""
+    from gate_spark.iceberg import write_table
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "source string, n int"
+    )
+
+    # path branch
+    p = str(tmp_path / "out")
+    assert write_table(df, p, partition_by=["source"]) == "parquet"
+    assert spark.read.parquet(p).count() == 2
+    assert os.path.isdir(os.path.join(p, "source=a"))
+
+    # iceberg branch: record the DataFrameWriterV2 chain
+    calls = {}
+
+    class FakeWriter:
+        def using(self, fmt):
+            calls["using"] = fmt
+            return self
+
+        def partitionedBy(self, *cols):
+            calls["partitioned"] = len(cols)
+            return self
+
+        def append(self):
+            calls["op"] = "append"
+
+        def createOrReplace(self):
+            calls["op"] = "createOrReplace"
+
+    df.writeTo = lambda name: (calls.__setitem__("name", name), FakeWriter())[1]
+    assert (
+        write_table(
+            df, "db.summary", partition_by=["source"], catalog="local",
+            _available=True,
+        )
+        == "iceberg"
+    )
+    assert calls == {
+        "name": "local.db.summary",
+        "using": "iceberg",
+        "partitioned": 1,
+        "op": "createOrReplace",
+    }
+    write_table(df, "db.summary", mode="append", _available=True)
+    assert calls["op"] == "append"
+
+    # fallback branch: session catalog
+    del df.__dict__["writeTo"]
+    assert write_table(df, "wt_seam_tbl", _available=False) == "table"
+    try:
+        assert spark.read.table("wt_seam_tbl").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wt_seam_tbl")

@@ -9,10 +9,16 @@ same statistics incrementally, with a watermark bounding state for
 late data.
 
 Statistics kept streaming-mergeable: count, coverage, mean, stddev
-(sum/sumsq), approx-distinct (HLL). Quantiles and occurrence_ratio are
-not streaming-safe in one pass (non-mergeable without sketch state in
-the agg buffer) — for those, run the batch summarize over completed
-windows (the lambda-architecture split the checkpoint store enables).
+(sum/sumsq), approx-distinct (HLL), and — for columns given fixed bin
+edges — p50/p95 from an incrementally-maintained fixed-edge histogram
+(per-bin conditional sums are plain mergeable aggregates, the same
+sketch state as gate_spark/sketches.py; a quantile landing in the open
+top bin resolves to the aggregated true max, mirroring
+sketches.quantiles_from_hist(vmax=...)). occurrence_ratio remains
+batch-only (top-value frequency is not one-pass mergeable without a
+heavy-hitters sketch in the agg buffer) — for it, run the batch
+summarize over completed windows (the lambda-architecture split the
+checkpoint store enables).
 
 For drift against ALL prior history (not just a window),
 :func:`incremental_drift` is a custom stateful operator
@@ -36,15 +42,25 @@ def streaming_column_stats(
     window_duration: str = "1 day",
     watermark: str = "1 hour",
     partition_key: str | None = None,
+    hist_edges: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """Windowed incremental stats for numeric columns over an event-time
     stream: one row per (window, [partition_key], column) in the same
     long format as the batch summary.
 
+    ``hist_edges[col]`` (inner edges, k edges -> k+1 bins) adds
+    streaming p50/p95 for that column: the windowed aggregation keeps
+    per-bin conditional counts (mergeable across micro-batches exactly
+    like any sum), and the quantile resolves to the first edge whose
+    cumulative count reaches q*count — or the aggregated max when the
+    mass lands in the open top bin. Columns without edges report null
+    quantiles.
+
     Works identically on a batch DataFrame (window() is a plain
     grouping expression), which is how the tests pin batch/stream
     parity; on a stream add ``.writeStream`` with a checkpoint dir.
     """
+    hist_edges = {c: [float(e) for e in v] for c, v in (hist_edges or {}).items()}
     is_streaming = stream_df.isStreaming
     # watermarks require TIMESTAMP (parquet may surface TIMESTAMP_NTZ)
     src = stream_df.withColumn(time_col, F.col(time_col).cast("timestamp"))
@@ -67,13 +83,41 @@ def streaming_column_stats(
             F.min(col).alias(f"{c}__min"),
             F.max(col).alias(f"{c}__max"),
         ]
+        for j, _ in enumerate(hist_edges.get(c, [])):
+            # bin index = |{e : e <= v}| (same rule as distribution.
+            # _bin_expr); only the k CUMULATIVE-boundary counts are
+            # needed for quantiles, so keep one conditional sum per
+            # inner edge — a plain mergeable aggregate, streaming-safe
+            edge = hist_edges[c][j]
+            aggs.append(
+                F.sum((col < F.lit(edge)).cast("long")).alias(f"{c}__cum{j}")
+            )
     wide = src.groupBy(*keys).agg(*aggs)
 
     stats = ["count", "coverage", "mean", "stddev", "num_unique_values", "min", "max"]
+
+    def _hist_quantile(c: str, q: float) -> Column:
+        edges = hist_edges.get(c)
+        if not edges:
+            return F.lit(None).cast("double")
+        target = F.lit(q) * F.col(f"{c}__count")
+        expr = None
+        for j, e in enumerate(edges):
+            cum = F.col(f"{c}__cum{j}")
+            cond = (cum >= target) & (cum > 0)
+            expr = (
+                F.when(cond, F.lit(e)) if expr is None else expr.when(cond, F.lit(e))
+            )
+        # open top bin: the histogram cannot bound the quantile, but the
+        # aggregation carries the true max (quantiles_from_hist vmax)
+        return expr.otherwise(F.col(f"{c}__max"))
+
     structs = [
         F.struct(
             F.lit(c).alias("column"),
             *[F.col(f"{c}__{s}").cast("double").alias(s) for s in stats],
+            _hist_quantile(c, 0.5).cast("double").alias("p50"),
+            _hist_quantile(c, 0.95).cast("double").alias("p95"),
         )
         for c in columns
     ]

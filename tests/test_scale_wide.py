@@ -14,6 +14,8 @@ exact 0 against its neighbors) — the 300-column aggregation is the
 expensive part of this test and runs once.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -29,9 +31,9 @@ PARTS = 30
 DRIFT_COLS = 50
 
 
-def _wide_df(spark, drift_cols: int = 0):
+def _wide_df(spark, drift_cols: int = 0, rows_per_part: int = ROWS_PER_PART):
     abc = F.array(F.lit("A"), F.lit("B"), F.lit("C"))
-    base = spark.range(ROWS_PER_PART).select(F.col("id").alias("rid"))
+    base = spark.range(rows_per_part).select(F.col("id").alias("rid"))
     dates = spark.createDataFrame(
         [(f"2022-01-{d + 1:02d}",) for d in range(PARTS)], ["date"]
     )
@@ -60,8 +62,8 @@ def _wide_df(spark, drift_cols: int = 0):
     return grid.select("date", *cols)
 
 
-def test_wide_300_columns(spark):
-    df = _wide_df(spark, drift_cols=DRIFT_COLS)
+def _run_wide(spark, rows_per_part: int):
+    df = _wide_df(spark, drift_cols=DRIFT_COLS, rows_per_part=rows_per_part)
     columns = [c for c in df.columns if c != "date"]
     assert len(columns) == 3 * NUM_COLS
     s = summarize(
@@ -85,3 +87,20 @@ def test_wide_300_columns(spark):
     r0 = detect_drift(s, current_partition="2022-01-15", cluster=False)
     assert r0.score < 1e-7
     s.unpersist()
+
+
+def test_wide_300_columns(spark):
+    _run_wide(spark, ROWS_PER_PART)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GATE_SPARK_SLOW"),
+    reason="reference row count (10k rows/partition, tests/"
+    "test_multiple_dfs.py:44-49) is opt-in: GATE_SPARK_SLOW=1",
+)
+def test_wide_300_columns_reference_rowcount(spark):
+    """The reference's full 10k rows/partition, including the no-drift
+    percentile sanity — statistical assertions reproduced at the exact
+    reference scale (plan width itself is row-count independent; the
+    default-suite variant covers it at CI cost)."""
+    _run_wide(spark, 10_000)

@@ -17,8 +17,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_streaming_matches_batch(spark, events, tmp_path):
     cols = ["value", "user_id"]
+    edges = {"value": [float(x) for x in range(0, 2000, 25)]}
     batch = streaming_column_stats(
-        events, "ts", cols, window_duration="1 day", partition_key="event_type"
+        events, "ts", cols, window_duration="1 day", partition_key="event_type",
+        hist_edges=edges,
     ).toPandas()
 
     # the file source streams a DIRECTORY of micro-batch files
@@ -27,19 +29,48 @@ def test_streaming_matches_batch(spark, events, tmp_path):
     events.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(stream_dir)
     stream = stream_parquet_dir(spark, stream_dir, events.schema, "ts")
     stats = streaming_column_stats(
-        stream, "ts", cols, window_duration="1 day", partition_key="event_type"
+        stream, "ts", cols, window_duration="1 day", partition_key="event_type",
+        hist_edges=edges,
     )
     run_available_now(stats, str(tmp_path / "ckpt"), "stream_stats")
     streamed = spark.sql("SELECT * FROM stream_stats").toPandas()
 
     key = ["window", "event_type", "column"]
+    batch["wstart"] = batch["window"].apply(lambda w: str(w["start"]))
     batch["window"] = batch["window"].astype(str)
     streamed["window"] = streamed["window"].astype(str)
     a = batch.sort_values(key).reset_index(drop=True)
     b = streamed.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) > 0
-    for c in ["count", "coverage", "mean", "stddev", "min", "max"]:
+    for c in ["count", "coverage", "mean", "stddev", "min", "max", "p50", "p95"]:
         assert np.allclose(a[c].astype(float), b[c].astype(float), equal_nan=True)
+
+    # streaming quantiles are real values: within one bin width of the
+    # exact batch percentile for the histogrammed column; null for the
+    # column given no edges
+    av = a[a["column"] == "value"]
+    assert av["p50"].notna().all() and av["p95"].notna().all()
+    assert a[a["column"] == "user_id"]["p50"].isna().all()
+    # the histogram quantile brackets the NEAREST-RANK order statistic
+    # (the value at index ceil(q*n)): first edge strictly above it, at
+    # most one bin width away (quantiles_from_hist attribution rule)
+    raw = (
+        events.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+            "value",
+        )
+        .toPandas()
+        .dropna(subset=["value"])
+    )
+    for (day, et), grp in raw.groupby(["day", "event_type"]):
+        vals = np.sort(grp["value"].to_numpy())
+        row = av[(av["wstart"] == str(day)) & (av["event_type"] == et)]
+        assert len(row) == 1
+        for q, col in ((0.5, "p50"), (0.95, "p95")):
+            rank_val = vals[int(np.ceil(q * len(vals))) - 1]
+            p = float(row[col].iloc[0])
+            assert rank_val < p <= rank_val + 25.0 or p == vals[-1]
 
 
 def test_compute_embeddings_contract(spark):

@@ -18,6 +18,8 @@ frame would be written to a scratch table instead of memory — the
 
 from __future__ import annotations
 
+import time as _time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark import StorageLevel
@@ -77,6 +79,19 @@ SKETCH_STATS = [
 ]
 
 
+@contextmanager
+def _stage(times: dict | None, name: str):
+    """Wall-time a pipeline stage into ``times`` (no-op when None) —
+    the per-stage scaling attribution hook (BASELINE.md requires
+    efficiency loss to be attributable stage-by-stage)."""
+    if times is None:
+        yield
+        return
+    t0 = _time.time()
+    yield
+    times[name] = round(times.get(name, 0.0) + _time.time() - t0, 3)
+
+
 @dataclass
 class TokenValidationResult:
     summary: Summary
@@ -127,6 +142,7 @@ def validate_tokens(
     external_dup_keys: DataFrame | None = None,
     hist_edges: list[float] | None = None,
     history_sketches: DataFrame | None = None,
+    stage_times: dict | None = None,
 ) -> TokenValidationResult:
     """One-scan validation of a (doc_id, tokens, n_tok, source) table.
 
@@ -204,9 +220,13 @@ def validate_tokens(
         # thread counts, and releases cleanly; on a cluster this is
         # "write slim to a scratch table".
         slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
-        slim.count()
+        with _stage(stage_times, "scan_slim"):
+            slim.count()
     else:
         slim = slim.persist()
+        if stage_times is not None:
+            with _stage(stage_times, "scan_slim"):
+                slim.count()
 
     # uniqueness: groupBy on the slim frame (map-side combine makes the
     # shuffle carry ~1 row per key per map task). The dupes side is
@@ -240,7 +260,8 @@ def validate_tokens(
             dupes.unionByName(cross).groupBy("_key").agg(F.max("_dup").alias("_dup"))
         )
     dupes = dupes.persist()  # consumed by count + 2 joins; rows bounded below
-    dup_count = dupes.count()
+    with _stage(stage_times, "unique_agg"):
+        dup_count = dupes.count()
     if dup_count <= broadcast_dupes_threshold:
         flagged = slim.join(F.broadcast(dupes), "_key", "left")
         flagged_cached = dupes
@@ -337,6 +358,9 @@ def validate_tokens(
     )
     # summarize() persists the metadata-scale summary table itself, so
     # drift / callers' repeated actions reuse one aggregation run.
+    if stage_times is not None:
+        with _stage(stage_times, "summary_agg"):
+            summary.df.count()  # materialize the cached aggregation
 
     # PSI/KS: equi-width bin edges from the summary's own min/max (no
     # extra pass over data), ONE histogram aggregation over slim, then
@@ -345,6 +369,7 @@ def validate_tokens(
     # like the reference's drift kernels. The standalone
     # distribution_drift keeps the all-DataFrame formulation (it is the
     # oracle-gated variant).
+    _t_dist = _time.time()
     if hist_edges is not None:
         edges = [float(e) for e in hist_edges]
     else:
@@ -370,10 +395,15 @@ def validate_tokens(
     )
     if history_parts:
         distribution = distribution.where(~F.col("partition").isin(history_parts))
+    if stage_times is not None:
+        stage_times["distribution"] = round(
+            stage_times.get("distribution", 0.0) + _time.time() - _t_dist, 3
+        )
 
     # driver-side fast path (one collect of the cached metadata-scale
     # summary instead of ~4 scheduled Spark stages; pinned equal to
     # the Spark drift_scores formulation in test_pipeline.py)
+    _t_drift = _time.time()
     drift = None
     if compute_drift:
         if history_sketches is not None:
@@ -385,6 +415,10 @@ def validate_tokens(
                 drift = drift.where(~F.col("partition").isin(history_parts))
         else:
             drift = drift_scores_driver(summary, k=drift_k)
+    if stage_times is not None:
+        stage_times["drift"] = round(
+            stage_times.get("drift", 0.0) + _time.time() - _t_drift, 3
+        )
 
     return TokenValidationResult(
         summary=summary,

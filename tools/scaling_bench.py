@@ -88,12 +88,19 @@ def _input_df(spark):
     return spark.read.parquet(DATA)
 
 
-def validation_job(spark, df=None) -> int:
+def validation_job(spark, df=None, stage_times: dict | None = None) -> int:
     """The measured pipeline (one-scan orchestration, pipeline.py);
     returns row count validated. Every output is fully materialized:
     the summary + PSI/KS + drift verdicts are computed eagerly inside
     validate_tokens (persisted summary / driver-side metadata math),
-    verdicts + violations are forced through the noop sink."""
+    verdicts + violations are forced through the noop sink.
+
+    ``stage_times`` collects the per-stage wall-time breakdown
+    (scan_slim / unique_agg / summary_agg / distribution / drift from
+    the pipeline hooks, plus the verdicts+violations forces here) —
+    the stage-level attribution BASELINE.md requires."""
+    import time as _time
+
     from gate_spark.pipeline import validate_tokens
 
     if df is None:
@@ -104,10 +111,13 @@ def validation_job(spark, df=None) -> int:
 
     r = validate_tokens(
         df, domain=tuple(f"src{i}" for i in range(20)), compute_drift=True,
-        truncate_lineage=True,
+        truncate_lineage=True, stage_times=stage_times,
     )
+    t0 = _time.time()
     force(r.verdicts)
     force(r.violations)
+    if stage_times is not None:
+        stage_times["verdicts_violations"] = round(_time.time() - t0, 3)
     n = ROWS
     r.unpersist()
     return n
@@ -146,9 +156,10 @@ def measured_run(cores: int) -> None:
     spark.stop()
 
 
-def single_trial(cores: int) -> None:
+def single_trial(cores: int, stages: bool = False) -> None:
     """One warm-up pass + ONE timed pass in a fresh JVM (used by the
-    interleaved protocol)."""
+    interleaved protocol). ``stages`` adds the per-stage wall-time
+    breakdown to the JSON line."""
     from gate_spark.session import get_spark
 
     if MODE == "parquet":
@@ -161,11 +172,61 @@ def single_trial(cores: int) -> None:
         },
     )
     validation_job(spark)  # warm-up
+    st: dict | None = {} if stages else None
     t0 = time.time()
-    n = validation_job(spark)
+    n = validation_job(spark, stage_times=st)
     dt = time.time() - t0
-    print(json.dumps({"cores": cores, "rows": n, "sec": round(dt, 2)}))
+    rec = {"cores": cores, "rows": n, "sec": round(dt, 2)}
+    if stages:
+        rec["stages"] = st
+    print(json.dumps(rec))
     spark.stop()
+
+
+def stage_breakdown(trials: int) -> None:
+    """Interleaved per-stage scaling attribution: N trials per core
+    count, per-stage MIN across trials (noise is additive per stage
+    too), per-stage efficiency t8/(4*t32) — so the aggregate efficiency
+    gap decomposes into which stages scale and which are pinned by
+    host memory bandwidth."""
+    if MODE == "parquet":
+        ensure_data()
+    per_stage: dict[int, dict[str, list[float]]] = {8: {}, 32: {}}
+    totals: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(trials):
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--trial-stages", str(cores)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            totals[cores].append(rec["sec"])
+            for k, v in rec["stages"].items():
+                per_stage[cores].setdefault(k, []).append(v)
+            print(line)
+    stages = sorted(per_stage[8])
+    table = {}
+    for k in stages:
+        t8 = min(per_stage[8][k])
+        t32 = min(per_stage[32][k])
+        table[k] = {
+            "local8_sec": t8,
+            "local32_sec": t32,
+            "speedup": round(t8 / t32, 2) if t32 > 0 else None,
+            "efficiency_4x": round(t8 / (4 * t32), 3) if t32 > 0 else None,
+        }
+    summary = {
+        "rows": ROWS, "mode": MODE,
+        "total_local8_sec": min(totals[8]),
+        "total_local32_sec": min(totals[32]),
+        "total_efficiency_4x": round(min(totals[8]) / (4 * min(totals[32])), 3),
+        "stages": table,
+    }
+    print(json.dumps(summary, indent=2))
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    with open(f"/root/repo/.scratch/scaling_stages_{MODE}.json", "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 def main() -> None:
@@ -174,6 +235,12 @@ def main() -> None:
         return
     if len(sys.argv) > 2 and sys.argv[1] == "--trial":
         single_trial(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--trial-stages":
+        single_trial(int(sys.argv[2]), stages=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stage-breakdown":
+        stage_breakdown(TRIALS)
         return
     if MODE == "parquet":
         ensure_data()

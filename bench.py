@@ -136,11 +136,19 @@ def main() -> None:
     # warm the JVM/parquet footers so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # min of PASSES runs per query: this host is a shared VM with
+    # bursty neighbor noise (observed 5-6x trial-to-trial); the min is
+    # the capacity estimate since noise is strictly additive
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(passes):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     nrows = (

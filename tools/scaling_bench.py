@@ -202,6 +202,13 @@ def stage_breakdown(trials: int) -> None:
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             rec = json.loads(line)
             totals[cores].append(rec["sec"])
+            # the residual between the pass total and the sum of timed
+            # Spark actions = driver-side planning/scheduling (lazy
+            # build, optimization, small collects) — the fixed term
+            # that caps efficiency at small inputs
+            rec["stages"]["other_driver"] = round(
+                rec["sec"] - sum(rec["stages"].values()), 3
+            )
             for k, v in rec["stages"].items():
                 per_stage[cores].setdefault(k, []).append(v)
             print(line)

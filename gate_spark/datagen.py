@@ -39,10 +39,20 @@ NUM_SOURCES = 20
 # INTERPRETED with boxed arithmetic — jstack of the 16M-row generate
 # job showed every executor thread in ArrayTransform.nullSafeEval /
 # BoxesRunTime, i.e. ~n_tok boxed xxhash evals per row and massive
-# young-gen churn. A slice of a broadcast pool is one array copy per
-# row; the pool rides along as DATA (1-row broadcast), never as a
-# 64k-literal expression tree.
-POOL_SIZE = 1 << 16
+# young-gen churn. A slice of a pool literal is one array copy per row.
+#
+# Pool size matters beyond the generator itself: the literal is part of
+# the plan, the plan rides in every TASK BINARY, and a cached
+# DataFrame's InMemoryTableScan keeps its full lineage (for partition
+# recompute) — so every downstream stage scanning the cache re-ships
+# and Java-deserializes the literal per task. jstack of the round-3
+# 64M x local[8] run caught the "distribution" stage's executor
+# threads inside ObjectInputStream.readArray on a 1.4 MB task binary;
+# at 8 cores that fixed per-task tax costs 4x the wall-clock it costs
+# at 32. 4k entries (16 KB) keeps the statistical shape (slices just
+# overlap more — irrelevant to length/vocab/hash validation) and drops
+# the task binary by ~10x.
+POOL_SIZE = 1 << 12
 
 
 def _u(id_col: Column, seed: int) -> Column:

@@ -458,7 +458,9 @@ def embedding_near_duplicates(
                 ).alias("_bb"),
             ).select(id_col, "_bb.band", "_bb.bucket")
         else:
-            bucketed = df.select(
+            # null vectors generate no candidates (HOF parity: a null
+            # bucket key never joins) and would break the batch matmul
+            bucketed = df.where(F.col(vec_col).isNotNull()).select(
                 F.col(id_col),
                 F.posexplode(
                     _sign_buckets_udf(num_bands, num_planes)(F.col(vec_col))

@@ -60,14 +60,23 @@ def cosine_pairs_udf():
 
     @F.pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        x = np.array(va.tolist(), dtype=np.float64)
-        y = np.array(vb.tolist(), dtype=np.float64)
-        if x.size == 0:
+        n = len(va)
+        if n == 0:
             return pd.Series(np.zeros(0, dtype=np.float64))
-        num = np.einsum("ij,ij->i", x, y)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(num / den)
+        # null vectors -> null cosine (HOF-division parity); guard also
+        # keeps np.array from building a ragged object array
+        valid = np.array(
+            [a is not None and b is not None for a, b in zip(va, vb)]
+        )
+        out = np.full(n, np.nan)
+        if valid.any():
+            x = np.array(va[valid].tolist(), dtype=np.float64)
+            y = np.array(vb[valid].tolist(), dtype=np.float64)
+            num = np.einsum("ij,ij->i", x, y)
+            den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[valid] = num / den
+        return pd.Series(out)
 
     return _cos
 
@@ -173,7 +182,10 @@ def cosine_topk(
         b_qids, b_q, b_qn = bc.value
         nq = len(b_qids)
         for pdf in batches:
-            if len(pdf) == 0 or nq == 0:
+            if nq == 0:
+                continue
+            pdf = pdf[pdf[corpus_vec].notna()]  # null vectors never rank
+            if len(pdf) == 0:
                 continue
             ids = pdf[corpus_id].to_numpy()
             x = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)

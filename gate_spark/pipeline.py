@@ -83,13 +83,23 @@ SKETCH_STATS = [
 def _stage(times: dict | None, name: str):
     """Wall-time a pipeline stage into ``times`` (no-op when None) —
     the per-stage scaling attribution hook (BASELINE.md requires
-    efficiency loss to be attributable stage-by-stage)."""
+    efficiency loss to be attributable stage-by-stage). Set
+    GATE_SPARK_STAGE_TRACE=1 to also print start/end markers (lets an
+    external watcher jstack the JVM inside a specific stage)."""
     if times is None:
         yield
         return
+    import os as _os
+
+    trace = _os.environ.get("GATE_SPARK_STAGE_TRACE")
+    if trace:
+        print(f"STAGE_START {name}", flush=True)
     t0 = _time.time()
     yield
-    times[name] = round(times.get(name, 0.0) + _time.time() - t0, 3)
+    dt = _time.time() - t0
+    times[name] = round(times.get(name, 0.0) + dt, 3)
+    if trace:
+        print(f"STAGE_END {name} {dt:.2f}", flush=True)
 
 
 @dataclass
@@ -369,7 +379,44 @@ def validate_tokens(
     # like the reference's drift kernels. The standalone
     # distribution_drift keeps the all-DataFrame formulation (it is the
     # oracle-gated variant).
-    _t_dist = _time.time()
+    with _stage(stage_times, "distribution"):
+        distribution, history_parts, edges = _compute_distribution(
+            df, slim, summary, n_tok_col, hist_edges, history_sketches,
+            num_bins, psi_threshold, ks_threshold,
+        )
+
+    # driver-side fast path (one collect of the cached metadata-scale
+    # summary instead of ~4 scheduled Spark stages; pinned equal to
+    # the Spark drift_scores formulation in test_pipeline.py)
+    with _stage(stage_times, "drift"):
+        drift = None
+        if compute_drift:
+            if history_sketches is not None:
+                hist_pdf = _history_summary_pdf(history_sketches, partition_key)
+                drift = drift_scores_driver(
+                    summary, k=drift_k, history=hist_pdf, restrict_stats=SKETCH_STATS
+                )
+                if history_parts:
+                    drift = drift.where(~F.col("partition").isin(history_parts))
+            else:
+                drift = drift_scores_driver(summary, k=drift_k)
+
+    return TokenValidationResult(
+        summary=summary,
+        verdicts=verdicts,
+        violations=violations,
+        distribution=distribution,
+        drift=drift,
+        slim=slim,
+        flagged_cache=flagged_cached,
+        hist_edges=edges,
+    )
+
+
+def _compute_distribution(
+    df, slim, summary, n_tok_col, hist_edges, history_sketches,
+    num_bins, psi_threshold, ks_threshold,
+):
     if hist_edges is not None:
         edges = [float(e) for e in hist_edges]
     else:
@@ -395,41 +442,7 @@ def validate_tokens(
     )
     if history_parts:
         distribution = distribution.where(~F.col("partition").isin(history_parts))
-    if stage_times is not None:
-        stage_times["distribution"] = round(
-            stage_times.get("distribution", 0.0) + _time.time() - _t_dist, 3
-        )
-
-    # driver-side fast path (one collect of the cached metadata-scale
-    # summary instead of ~4 scheduled Spark stages; pinned equal to
-    # the Spark drift_scores formulation in test_pipeline.py)
-    _t_drift = _time.time()
-    drift = None
-    if compute_drift:
-        if history_sketches is not None:
-            hist_pdf = _history_summary_pdf(history_sketches, partition_key)
-            drift = drift_scores_driver(
-                summary, k=drift_k, history=hist_pdf, restrict_stats=SKETCH_STATS
-            )
-            if history_parts:
-                drift = drift.where(~F.col("partition").isin(history_parts))
-        else:
-            drift = drift_scores_driver(summary, k=drift_k)
-    if stage_times is not None:
-        stage_times["drift"] = round(
-            stage_times.get("drift", 0.0) + _time.time() - _t_drift, 3
-        )
-
-    return TokenValidationResult(
-        summary=summary,
-        verdicts=verdicts,
-        violations=violations,
-        distribution=distribution,
-        drift=drift,
-        slim=slim,
-        flagged_cache=flagged_cached,
-        hist_edges=edges,
-    )
+    return distribution, history_parts, edges
 
 
 def _history_histograms(

@@ -100,3 +100,40 @@ def test_embedding_near_duplicates(spark):
         df, "vec_id", "vec", threshold=0.999, num_planes=4
     ).pairs.toPandas()
     assert (0, 100) in {(a, b) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+
+
+def test_embedding_near_dup_null_vectors(spark):
+    """Null embedding vectors generate no candidates and no crashes in
+    the Arrow scale path (HOF parity: a null bucket key never joins)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.rand(6, 8).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(6)]
+    rows.append((100, base[0].tolist()))  # exact dup of 0
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id int, vec array<float>")
+    out = dd.embedding_near_duplicates(
+        df, "vec_id", "vec", threshold=0.999, num_planes=4
+    ).pairs.toPandas()
+    got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (0, 100) in got
+    assert not any(999 in p for p in got)
+
+
+def test_cosine_topk_null_vectors(spark):
+    import numpy as np
+
+    from gate_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(4)
+    rows = [(i, rng.rand(8).tolist()) for i in range(10)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "vec_id int, vec array<double>")
+    out = sim.cosine_topk(
+        df, df.where("vec_id < 2"),
+        corpus_id="vec_id", corpus_vec="vec",
+        query_id="vec_id", query_vec="vec", k=3,
+    ).toPandas()
+    assert len(out) == 6  # 2 queries x k
+    assert 999 not in set(out["neighbor_id"])

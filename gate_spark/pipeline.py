@@ -116,6 +116,7 @@ class TokenValidationResult:
     def unpersist(self) -> None:
         self.slim.unpersist()
         self.summary.df.unpersist()
+        self.violations.unpersist()
         if self.flagged_cache is not None:
             self.flagged_cache.unpersist()
 
@@ -218,25 +219,28 @@ def validate_tokens(
         F.when(f_vocab, tok_max).alias("_vmax"),
     )
     if truncate_lineage:
-        # Eagerly materialize the shared slim frame. This used to be
-        # localCheckpoint, which jstack profiling exposed as the
-        # 32-thread scaling inverter: it stores partitions as
-        # DESERIALIZED object rows (MemoryStore.putIteratorAsValues,
-        # ~200 B/row), 32 concurrent unroll buffers fight for storage
-        # memory, evicted blocks churn through mmap'd disk files - and
-        # its blocks cannot be freed through DataFrame.unpersist, so
-        # back-to-back runs accumulate dead gigabytes. The columnar
-        # SQL cache is ~10x more compact, contention-free at high
-        # thread counts, and releases cleanly; on a cluster this is
-        # "write slim to a scratch table".
+        # MEMORY_AND_DISK: at bench scale the slim frame can exceed the
+        # storage fraction; spilled columnar batches beat recompute.
+        # (This used to be localCheckpoint, which jstack profiling
+        # exposed as the 32-thread scaling inverter: deserialized
+        # object rows, ~200 B/row, unreleasable blocks. The columnar
+        # SQL cache is ~10x more compact and releases cleanly; on a
+        # cluster this is "write slim to a scratch table".)
         slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
-        with _stage(stage_times, "scan_slim"):
-            slim.count()
     else:
         slim = slim.persist()
-        if stage_times is not None:
-            with _stage(stage_times, "scan_slim"):
-                slim.count()
+    # Materialize the cache with the ONE action that also yields the
+    # per-partition row counts (metadata-scale collect: one row per
+    # partition). The counts let verdicts be DERIVED from the
+    # materialized violations table instead of a second full-frame
+    # aggregation — profiled at 64M rows, the extra verdicts action
+    # over 256 cached partitions was a ~core-count-flat ~10 s term
+    # (task launch + cache decompression that a 4x-core run repays
+    # almost unchanged).
+    with _stage(stage_times, "scan_slim"):
+        pk_rows = (
+            slim.groupBy("_pk").agg(F.count(F.lit(1)).alias("_rc")).collect()
+        )
 
     # uniqueness: groupBy on the slim frame (map-side combine makes the
     # shuffle carry ~1 row per key per map task). The dupes side is
@@ -285,26 +289,6 @@ def validate_tokens(
 
     names = ["unique_doc_id", "token_array_equality", "source_membership", "vocab_bounds"]
     flags = ["_f_unique", "_f_eq", "_f_member", "_f_vocab"]
-    counts = flagged.groupBy("_pk").agg(
-        F.count(F.lit(1)).alias("_rc"),
-        *[F.sum(F.col(f).cast("long")).alias(f"_c{i}") for i, f in enumerate(flags)],
-    )
-    verdicts = counts.select(
-        F.col("_pk").alias("partition"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(n).alias("constraint"),
-                        F.col(f"_c{i}").alias("violation_count"),
-                        F.col("_rc").alias("row_count"),
-                        (F.col(f"_c{i}") == 0).alias("passed"),
-                    )
-                    for i, n in enumerate(names)
-                ]
-            )
-        ).alias("_v"),
-    ).select("partition", "_v.constraint", "_v.violation_count", "_v.row_count", "_v.passed")
 
     details = [
         F.concat(F.lit("duplicate doc_id="), F.col("_key").cast("string")),
@@ -341,6 +325,49 @@ def validate_tokens(
             ).alias("_w"),
         )
         .select("partition", F.col("_w.constraint").alias("constraint"), "key", "_w.detail")
+    )
+    # Violations are the ONE action over the full flagged frame; the
+    # persisted result (bounded by the violating-row count — the same
+    # rows the caller writes out) is then the source for verdicts, so
+    # verdicts + violations together cost one full-frame pass instead
+    # of two. Each violating row emits exactly one violations row per
+    # violated constraint, so count(*) by (partition, constraint) over
+    # violations == sum(flag) by partition — bit-identical to the old
+    # grouped-sum formulation (pinned by test_verdicts_match_standalone
+    # and the violation_count==len(violations) invariant).
+    violations = violations.persist()
+
+    spark = df.sparkSession
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    pk_type = slim.schema["_pk"].dataType
+    grid = spark.createDataFrame(
+        [(r["_pk"], n, r["_rc"]) for r in pk_rows for n in names],
+        StructType(
+            [
+                StructField("partition", pk_type),
+                StructField("constraint", StringType()),
+                StructField("row_count", LongType()),
+            ]
+        ),
+    )
+    vcounts = violations.groupBy(
+        F.col("partition").alias("_vp"), F.col("constraint").alias("_vc")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    verdicts = (
+        grid.join(
+            F.broadcast(vcounts),
+            grid["partition"].cast("string").eqNullSafe(vcounts["_vp"])
+            & (grid["constraint"] == vcounts["_vc"]),
+            "left",
+        )
+        .select(
+            "partition",
+            "constraint",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("violation_count"),
+            "row_count",
+            (F.coalesce(F.col("_n"), F.lit(0).cast("long")) == 0).alias("passed"),
+        )
     )
 
     # summaries over the slim scalars (array column summarized over its

@@ -94,7 +94,9 @@ def test_uniqueness_join_plan_shape(tokens, result):
     dup threshold the verdicts/violations actions use a broadcast-hash
     join of the dup set (no full-table shuffle); forcing the fallback
     switches to one shared persisted shuffle join."""
-    plan = result.verdicts._jdf.queryExecution().executedPlan().toString()
+    # the dupes join lives in the violations frame (the ONE full-frame
+    # action; verdicts now derive from its persisted output)
+    plan = result.violations._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert result.flagged_cache is not None  # cached dup set handle

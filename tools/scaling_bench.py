@@ -113,9 +113,12 @@ def validation_job(spark, df=None, stage_times: dict | None = None) -> int:
         df, domain=tuple(f"src{i}" for i in range(20)), compute_drift=True,
         truncate_lineage=True, stage_times=stage_times,
     )
+    # violations first: it is the single full-frame action (its persist
+    # populates as it writes); verdicts then derives from the persisted
+    # violations table at metadata scale.
     t0 = _time.time()
-    force(r.verdicts)
     force(r.violations)
+    force(r.verdicts)
     if stage_times is not None:
         stage_times["verdicts_violations"] = round(_time.time() - t0, 3)
     n = ROWS

@@ -92,10 +92,39 @@ def _drop_partition_dirs(
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     for p in parts:
-        path = jvm.org.apache.hadoop.fs.Path(f"{base}/{col}={p}")
+        # Spark percent-escapes special characters in partition dir
+        # names (Hive path convention) — build the same escaped name or
+        # stale dirs for such values are silently left in place
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{base}/{_escape_path_name(spark, col)}={_escape_path_name(spark, p)}"
+        )
         fs = path.getFileSystem(conf)
         if fs.exists(path):
             fs.delete(path, True)
+
+
+# the character set Spark/Hive percent-escape in partition path names
+# (ExternalCatalogUtils.charToEscape): ASCII control chars plus these
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_path_name(spark: SparkSession, value: str) -> str:
+    """Escape a partition value exactly as Spark does when writing
+    ``col=value`` directories. Prefers the JVM's own implementation
+    (bit-exact by construction); falls back to a replica of
+    ExternalCatalogUtils.escapePathName."""
+    value = str(value)
+    try:
+        return str(
+            spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+                value
+            )
+        )
+    except Exception:
+        return "".join(
+            f"%{ord(c):02X}" if (c in _ESCAPE_CHARS or ord(c) < 0x20) else c
+            for c in value
+        )
 
 
 def _get_session(args) -> SparkSession:
@@ -136,8 +165,13 @@ def main(argv: list[str] | None = None) -> int:
         {
             k: v
             for k, v in vars(args).items()
-            # identity of the validation, not of this invocation
-            if k not in ("output", "lineage", "snapshot", "app_name", "local_cores")
+            # identity of the validation, not of this invocation;
+            # no_global_unique only controls a resume-time probe, so
+            # toggling it must not invalidate committed lineage
+            if k not in (
+                "output", "lineage", "snapshot", "app_name", "local_cores",
+                "no_global_unique",
+            )
         }
     )
 
@@ -173,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
     external_keys = None
     history_sketches = None
     hist_edges = None
+    n_history = 0  # partitions actually present in the sketch payload
     committed = [p for p in all_parts if p not in pending]
     if committed:
         # pushed-down membership filter -> partition pruning on a
@@ -193,6 +228,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             payload = {p: s for p, s in payload.items() if p in committed}
             if payload:
+                # the drift gate below must count the partitions the
+                # sketch payload actually carries, not len(committed):
+                # only a subset of committed partitions may have
+                # committed sketch_json for this run_spec/stamp
+                n_history = len(payload)
                 history_sketches = sk.sketches_from_json(spark, payload)
                 erow = (
                     history_sketches.where(
@@ -215,22 +255,27 @@ def main(argv: list[str] | None = None) -> int:
         vocab=(lo, hi),
         distinct_mode=args.distinct_mode,
         quantile_mode=args.quantile_mode,
-        compute_drift=not args.no_drift
-        and (len(pending) + (0 if history_sketches is None else len(committed))) >= 6,
+        compute_drift=not args.no_drift and (len(pending) + n_history) >= 6,
         external_dup_keys=external_keys,
         hist_edges=hist_edges,
         history_sketches=history_sketches,
     )
+    # drift globality is claimed only when the history histograms were
+    # ACTUALLY pooled into the PSI/KS holdout (result.history_pooled):
+    # sketch rows can lack histograms or carry mismatched edges, in
+    # which case the distribution verdicts silently fell back to
+    # pending scope and reporting "drift" here would overstate them
+    drift_global = history_sketches is not None and result.history_pooled
     summary_line["global_checks"] = (
         "full"
         if not committed
         else (
             "unique"
-            if external_keys is not None and history_sketches is None
+            if external_keys is not None and not drift_global
             else (
                 "unique+drift"
                 if external_keys is not None
-                else ("drift" if history_sketches is not None else "pending-only")
+                else ("drift" if drift_global else "pending-only")
             )
         )
     )

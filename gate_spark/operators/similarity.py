@@ -50,13 +50,24 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide, not "/": under ANSI mode a zero-norm vector would
+    # otherwise throw DIVIDE_BY_ZERO and fail the whole job on one bad
+    # row. try_divide yields NULL for a zero denominator — the same
+    # observable behavior as the Arrow path (whose NaN becomes SQL NULL
+    # across Arrow serialization), so both impls drop zero-norm pairs
+    # from >= threshold filters instead of diverging.
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def cosine_pairs_udf():
     """Arrow-batched pairwise cosine: one einsum per batch instead of
-    ``dim`` interpreted multiply-adds per row. Float64 throughout; a
-    zero-norm side yields inf/nan exactly like the HOF division."""
+    ``dim`` interpreted multiply-adds per row. Float64 throughout.
+
+    Zero-norm semantics (both impls agree): the numpy division yields
+    NaN, which Arrow serialization converts to SQL NULL — zero-norm
+    pairs are therefore NULL and get dropped by ``>= threshold``
+    filters; the HOF path's try_divide returns NULL for the same
+    rows."""
 
     @F.pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:

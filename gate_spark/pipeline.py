@@ -112,6 +112,13 @@ class TokenValidationResult:
     slim: DataFrame
     flagged_cache: DataFrame | None = None
     hist_edges: list | None = None
+    # True iff the committed partitions' checkpointed histograms were
+    # actually pooled into the PSI/KS holdout (history_sketches rows can
+    # lack histograms or carry mismatched edges, in which case the
+    # distribution verdicts silently stay pending-scoped — callers
+    # reporting check globality must consult this, not merely whether
+    # history_sketches was passed)
+    history_pooled: bool = False
 
     def unpersist(self) -> None:
         self.slim.unpersist()
@@ -407,7 +414,7 @@ def validate_tokens(
     # distribution_drift keeps the all-DataFrame formulation (it is the
     # oracle-gated variant).
     with _stage(stage_times, "distribution"):
-        distribution, history_parts, edges = _compute_distribution(
+        distribution, history_parts, edges, pooled = _compute_distribution(
             df, slim, summary, n_tok_col, hist_edges, history_sketches,
             num_bins, psi_threshold, ks_threshold,
         )
@@ -437,6 +444,7 @@ def validate_tokens(
         slim=slim,
         flagged_cache=flagged_cached,
         hist_edges=edges,
+        history_pooled=pooled,
     )
 
 
@@ -458,9 +466,11 @@ def _compute_distribution(
         edges = [lo_v + i * step for i in range(1, num_bins)]
     hist = partition_histograms(slim, "_pk", "n_tok", edges)
     history_parts: list[str] = []
+    pooled = False
     if history_sketches is not None:
         hh, history_parts = _history_histograms(history_sketches, n_tok_col, edges)
         if hh is not None:
+            pooled = True
             hist = hist.select(
                 F.col("partition").cast("string").alias("partition"), "bin", "bin_count"
             ).unionByName(hh)
@@ -469,7 +479,7 @@ def _compute_distribution(
     )
     if history_parts:
         distribution = distribution.where(~F.col("partition").isin(history_parts))
-    return distribution, history_parts, edges
+    return distribution, history_parts, edges, pooled
 
 
 def _history_histograms(

@@ -115,3 +115,18 @@ def test_fingerprint_stability(spark):
     out = {r["doc_id"]: r["fingerprint"] for r in ts.fingerprint(df, "doc_id", "text").collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_cosine_zero_norm_null_both_impls(spark):
+    """ADVICE parity pin: a zero-norm vector must yield NULL cosine in
+    BOTH impls (HOF try_divide and Arrow NaN->NULL) — never a
+    DIVIDE_BY_ZERO error under ANSI mode, never a silent divergence."""
+    from gate_spark.operators.similarity import cosine_expr, cosine_pairs_udf
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    hof = df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()
+    arrow = df.select(cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")).collect()
+    assert [r["c"] for r in hof] == [r["c"] for r in arrow] == [None, 1.0]

@@ -176,3 +176,19 @@ def test_cli_per_partition_incremental(spark, tmp_path, capsys):
         "partition = 'src7' AND constraint = 'unique_doc_id'"
     )
     assert viol.where(viol.key == stolen).count() >= 1
+
+
+def test_escape_path_name_matches_spark(spark, tmp_path):
+    """_drop_partition_dirs must address the SAME escaped directory
+    Spark writes for special-character partition values."""
+    from gate_spark.cli import _escape_path_name
+
+    out = str(tmp_path / "esc")
+    val = "a b:c/d%e"
+    spark.createDataFrame([(val, 1)], "source string, x int").write.partitionBy(
+        "source"
+    ).parquet(out)
+    import os
+
+    written = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert written == [f"source={_escape_path_name(spark, val)}"]

@@ -344,6 +344,27 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 
+def q_embedding_near_dup_arrow(spark, sf_dir):
+    """The ACTUAL Arrow-matmul scale path (_sign_buckets_udf +
+    cosine_pairs_udf), oracle-gated: plane weights are md5-derived so
+    the DuckDB twin rebuilds the packed bucket keys bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    view = emb.unionByName(dups)
+    out = dd.embedding_near_duplicates(
+        view,
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        num_planes=8,
+        num_bands=4,
+        hash_mode="md5_arrow",
+    ).pairs
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-k (scale path of knn_cosine), made
     oracle-checkable by fixing deterministic centroids: cell j is the
@@ -456,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dims": q_embedding_dims,
         "summarize_tokens": q_summarize_tokens,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_arrow": q_embedding_near_dup_arrow,
         "ann_ivf": q_ann_ivf,
         "sketch_merge": q_sketch_merge,
         "trailing_zscore_events": q_trailing_zscore_events,
@@ -505,6 +527,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dims": oracles.embedding_dims_sql(64),
         "summarize_tokens": oracles.token_summary_sql(),
         "embedding_near_dup": oracles.embedding_near_dup_sql(
+            0.99, num_planes=8, num_bands=4
+        ),
+        "embedding_near_dup_arrow": oracles.embedding_near_dup_arrow_sql(
             0.99, num_planes=8, num_bands=4
         ),
         "ann_ivf": oracles.ann_ivf_sql(k=5, num_queries=5, num_cells=8, nprobe=4),

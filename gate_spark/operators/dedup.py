@@ -459,11 +459,18 @@ def embedding_near_duplicates(
             ).select(id_col, "_bb.band", "_bb.bucket")
         else:
             # null vectors generate no candidates (HOF parity: a null
-            # bucket key never joins) and would break the batch matmul
+            # bucket key never joins) and would break the batch matmul.
+            # hash_mode="md5_arrow" runs the SAME Arrow matmul kernel
+            # with md5-derived plane weights so a DuckDB twin can
+            # rebuild the bucket keys bit-for-bit — the oracle gate for
+            # the scale path itself, not just the interpreted HOF mode.
+            plane_mode = "md5" if hash_mode == "md5_arrow" else "seeded"
             bucketed = df.where(F.col(vec_col).isNotNull()).select(
                 F.col(id_col),
                 F.posexplode(
-                    _sign_buckets_udf(num_bands, num_planes)(F.col(vec_col))
+                    _sign_buckets_udf(num_bands, num_planes, plane_mode=plane_mode)(
+                        F.col(vec_col)
+                    )
                 ).alias("band", "bucket"),
             )
         w = Window.partitionBy("band", "bucket")
@@ -512,7 +519,29 @@ def _plane_matrix(dim: int, num_planes: int, seed: int) -> "np.ndarray":
     return rng.uniform(-1.0, 1.0, size=(dim, num_planes))
 
 
-def _sign_buckets_udf(num_bands: int, num_planes: int, seed: int = 1000):
+@lru_cache(maxsize=32)
+def _plane_matrix_md5(dim: int, num_planes: int, seed: int) -> "np.ndarray":
+    """Hash-derived (dim x num_planes) hyperplane matrix: entry (i, j)
+    is the SAME md5-derived weight the HOF formulation uses for plane
+    ``seed + j`` and dimension ``i`` (``_signature_bucket_hof``'s
+    ``pmod(hash64(str(i)), 2000001)/1e6 - 1``). A DuckDB twin can
+    rebuild the matrix bit-for-bit from md5 — which gives the Arrow
+    matmul SCALE path an exact oracle, not just the interpreted HOF
+    mode. Built once per worker via lru_cache, like _plane_matrix."""
+    import hashlib
+
+    out = np.empty((dim, num_planes), dtype=np.float64)
+    for j in range(num_planes):
+        s = seed + j
+        for i in range(dim):
+            h = int(hashlib.md5(f"{s}|{i}".encode()).hexdigest()[:15], 16)
+            out[i, j] = (h % 2000001) / 1000000.0 - 1.0
+    return out
+
+
+def _sign_buckets_udf(
+    num_bands: int, num_planes: int, seed: int = 1000, plane_mode: str = "seeded"
+):
     """Arrow-batched sign-LSH bucketing: returns an ``array<long>`` of
     ``num_bands`` bucket keys per vector. All bands' plane projections
     are ONE ``(batch x dim) @ (dim x bands*planes)`` float64 matmul;
@@ -523,13 +552,14 @@ def _sign_buckets_udf(num_bands: int, num_planes: int, seed: int = 1000):
     formulation (dot >= 0 -> bit 1)."""
     assert num_planes <= 62, "num_planes must fit in a signed 64-bit bucket key"
     total = num_bands * num_planes
+    mk_planes = _plane_matrix_md5 if plane_mode == "md5" else _plane_matrix
 
     @F.pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
         x = np.array(v.tolist(), dtype=np.float64)
         if x.size == 0:
             return pd.Series([[0] * num_bands] * len(v))
-        planes = _plane_matrix(x.shape[1], total, seed)
+        planes = mk_planes(x.shape[1], total, seed)
         bits = (x @ planes) >= 0.0  # batch x (bands*planes)
         bits = bits.reshape(len(x), num_bands, num_planes)
         weights = 1 << np.arange(num_planes, dtype=np.int64)

@@ -649,6 +649,60 @@ scored AS (SELECT cand.id_a, cand.id_b,
 SELECT id_a, id_b, {_f6('cos')} AS cosine FROM scored WHERE cos >= {threshold}"""
 
 
+def embedding_near_dup_arrow_sql(
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    num_bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """Twin of embedding_near_duplicates(hash_mode='md5_arrow') — the
+    ARROW MATMUL scale path (dedup.py:_sign_buckets_udf) with
+    md5-derived plane weights: reproduces the (dim x bands*planes)
+    plane matrix entry-by-entry from md5, packs each band's sign bits
+    into the same bit-weighted BIGINT bucket key (bit p = 2^p), and
+    verifies candidates with exact cosine. Any divergence in the
+    matmul kernel's bucketing or the einsum cosine breaks this gate."""
+
+    def w(seed: int) -> str:
+        h = _md5h(f"concat('{seed}|', CAST(i AS VARCHAR))")
+        return f"(({h}) % 2000001) / 1000000.0 - 1.0"
+
+    def dot(band: int, p: int) -> str:
+        seed = 1000 + band * num_planes + p
+        return (
+            f"list_sum(list_transform(range({dim}), "
+            f"i -> CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * ({w(seed)})))"
+        )
+
+    def bucket(band: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN ({dot(band, p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket FROM e"
+        for b in range(num_bands)
+    )
+    cdot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""WITH e AS ({EMB_DUP_VIEW}),
+buckets AS ({band_selects}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (SELECT cand.id_a, cand.id_b,
+    {cdot} / ({nrm.format(v='a.embedding')} * {nrm.format(v='b.embedding')}) AS cos
+  FROM cand JOIN e a ON a.vec_id = cand.id_a JOIN e b ON b.vec_id = cand.id_b)
+SELECT id_a, id_b, {_f6('cos')} AS cosine FROM scored WHERE cos >= {threshold}"""
+
+
 def ann_ivf_sql(
     k: int = 5, num_queries: int = 5, num_cells: int = 8, nprobe: int = 4
 ) -> str:

@@ -138,13 +138,18 @@ def cosine_topk(
     query_vec: str,
     k: int = 10,
     impl: str = "arrow",
+    query_chunk_size: int = 8192,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, cosine,
     rank), rank 1..k, self-match excluded, ties broken by neighbor id.
 
-    The query batch is collected and broadcast as one numpy matrix
-    (queries are small by contract — at scale, run many small query
-    batches); the corpus is scanned ONCE regardless of query count.
+    Queries are streamed driver-side in bounded chunks of
+    ``query_chunk_size`` rows (``toLocalIterator`` — driver peak memory
+    is one query partition, never the whole table); each chunk is
+    broadcast as one numpy matrix and scored in a single corpus scan,
+    so an arbitrarily large query table degrades gracefully to
+    ``ceil(|queries|/chunk)`` corpus scans with per-task score-matrix
+    width capped at ``batch x chunk`` — no contract cliff.
 
     ``impl="arrow"``: per Arrow batch, scores = ``(X @ Q.T) / outer
     (|x|, |q|)`` — a single BLAS matmul — followed by in-batch partial
@@ -171,14 +176,6 @@ def cosine_topk(
         return _finish_topk(scored, k)
 
     spark = corpus.sparkSession
-    q_rows = q.collect()  # small-query-batch contract (documented above)
-    qids = np.array([r["query_id"] for r in q_rows])
-    qmat = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
-    if len(q_rows) == 0:
-        qmat = qmat.reshape(0, 0)
-    qnorm = np.linalg.norm(qmat, axis=1) if len(q_rows) else np.zeros(0)
-    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
-
     qid_type = queries.schema[query_id].dataType
     nid_type = corpus.schema[corpus_id].dataType
     out_schema = T.StructType(
@@ -189,39 +186,60 @@ def cosine_topk(
         ]
     )
 
-    def gen(batches):
-        b_qids, b_q, b_qn = bc.value
-        nq = len(b_qids)
-        for pdf in batches:
-            if nq == 0:
-                continue
-            pdf = pdf[pdf[corpus_vec].notna()]  # null vectors never rank
-            if len(pdf) == 0:
-                continue
-            ids = pdf[corpus_id].to_numpy()
-            x = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
-            xn = np.linalg.norm(x, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                scores = (x @ b_q.T) / (xn[:, None] * b_qn[None, :])
-            out_q, out_n, out_s = [], [], []
-            for j in range(nq):
-                s = scores[:, j]
-                mask = ids != b_qids[j]  # exclude self-match
-                cand_ids, cand_s = ids[mask], s[mask]
-                if len(cand_ids) == 0:
-                    continue
-                # exact in-batch top-k under (cosine desc, id asc):
-                # lexsort is stable and vectorized; batch-local n log n.
-                order = np.lexsort((cand_ids, -cand_s))[:k]
-                out_q.extend([b_qids[j]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_s.extend(cand_s[order])
-            if out_q:
-                yield pd.DataFrame(
-                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
-                )
+    def chunk_candidates(chunk_rows):
+        qids = np.array([r["query_id"] for r in chunk_rows])
+        qmat = np.array([r["_qv"] for r in chunk_rows], dtype=np.float64)
+        qnorm = np.linalg.norm(qmat, axis=1)
+        bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
 
-    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+        def gen(batches):
+            b_qids, b_q, b_qn = bc.value
+            nq = len(b_qids)
+            for pdf in batches:
+                if nq == 0:
+                    continue
+                pdf = pdf[pdf[corpus_vec].notna()]  # null vectors never rank
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[corpus_id].to_numpy()
+                x = np.array(pdf[corpus_vec].tolist(), dtype=np.float64)
+                xn = np.linalg.norm(x, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = (x @ b_q.T) / (xn[:, None] * b_qn[None, :])
+                out_q, out_n, out_s = [], [], []
+                for j in range(nq):
+                    s = scores[:, j]
+                    mask = ids != b_qids[j]  # exclude self-match
+                    cand_ids, cand_s = ids[mask], s[mask]
+                    if len(cand_ids) == 0:
+                        continue
+                    # exact in-batch top-k under (cosine desc, id asc):
+                    # lexsort is stable and vectorized; batch-local n log n.
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    out_q.extend([b_qids[j]] * len(order))
+                    out_n.extend(cand_ids[order])
+                    out_s.extend(cand_s[order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+                    )
+
+        return corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+
+    chunk_size = max(1, int(query_chunk_size))
+    cand = None
+    buf: list = []
+    for row in q.toLocalIterator():
+        buf.append(row)
+        if len(buf) >= chunk_size:
+            piece = chunk_candidates(buf)
+            cand = piece if cand is None else cand.unionByName(piece)
+            buf = []
+    if buf:
+        piece = chunk_candidates(buf)
+        cand = piece if cand is None else cand.unionByName(piece)
+    if cand is None:  # empty query table
+        cand = spark.createDataFrame([], out_schema)
     return _finish_topk(cand, k)
 
 

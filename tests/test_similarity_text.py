@@ -43,6 +43,26 @@ def test_cosine_topk_matches_numpy(emb):
         assert got == expected[qid], f"query {qid}"
 
 
+def test_cosine_topk_chunked_queries(emb):
+    """A query set wider than query_chunk_size must produce the exact
+    same top-k as the single-chunk path: the union of per-chunk
+    candidate frames is reduced by one exact final top-k, so chunking
+    is invisible in the output (the former small-query-batch contract
+    cliff is gone)."""
+    queries = emb.where(F.col("vec_id") < 9)  # 9 queries, chunk=4 -> 3 chunks
+    kw = dict(
+        corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=5,
+    )
+    one = sim.cosine_topk(emb, queries, **kw).toPandas()
+    chunked = sim.cosine_topk(emb, queries, query_chunk_size=4, **kw).toPandas()
+    cols = ["query_id", "rank"]
+    one = one.sort_values(cols).reset_index(drop=True)
+    chunked = chunked.sort_values(cols).reset_index(drop=True)
+    assert one["neighbor_id"].tolist() == chunked["neighbor_id"].tolist()
+    assert np.allclose(one["cosine"], chunked["cosine"])
+
+
 def test_ivf_topk_recall(emb):
     exact = sim.cosine_topk(
         emb, emb.where(F.col("vec_id") < 5),

@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gate_spark import oracles
 from gate_spark.operators.summarize import summarize
-from gate_spark.operators.drift import normalize, drift_scores, drifted_columns_df
+from gate_spark.operators.drift import (
+    cluster_reduced_z,
+    drift_scores,
+    drifted_columns_df,
+    normalize,
+)
 from gate_spark.operators.distribution import distribution_drift
 from gate_spark.operators.constraints import (
     ExpressionConstraint,
@@ -147,6 +152,18 @@ def q_zscores_lineitem(spark, sf_dir):
     s = _summary_df(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
     z = normalize(s.df, "l_returnflag", GATE_STATS)
     return z.select("l_returnflag", "column", "statistic", _r6(F.col("value")).alias("z"))
+
+
+def q_zscores_clustered(spark, sf_dir):
+    """The clustered drift path's feature reduction (D6/D7): mean |z|
+    per (partition, cluster, statistic) with a deterministic name-rank
+    cluster map — the SQL-reproducible stand-in for the engine's
+    similarity-driven clusters (same reduce, pinned in test_drift.py)."""
+    s = _summary_df(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
+    out = cluster_reduced_z(s, num_clusters=3)
+    return out.select(
+        "l_returnflag", "cluster", "statistic", _r6(F.col("value")).alias("z")
+    )
 
 
 def q_drifted_columns(spark, sf_dir):
@@ -459,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_lineitem": q_summarize_lineitem,
         "summarize_orders_extras": q_summarize_orders_extras,
         "zscores_lineitem": q_zscores_lineitem,
+        "zscores_clustered": q_zscores_clustered,
         "drifted_columns": q_drifted_columns,
         "drift_scores_events": q_drift_scores_events,
         "psi_ks_lineitem": q_psi_ks_lineitem,
@@ -495,6 +513,11 @@ def oracle_sql() -> dict[str, str]:
         "zscores_lineitem": oracles.zscore_sql(
             oracles.summary_sql("lineitem", "l_returnflag", LINEITEM_COLS, round6=False),
             "l_returnflag",
+        ),
+        "zscores_clustered": oracles.zscore_clustered_sql(
+            oracles.summary_sql("lineitem", "l_returnflag", LINEITEM_COLS, round6=False),
+            "l_returnflag",
+            num_clusters=3,
         ),
         "drifted_columns": oracles.drifted_columns_sql(
             oracles.summary_sql("lineitem", "l_returnflag", LINEITEM_COLS, round6=False),

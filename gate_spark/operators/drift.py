@@ -519,6 +519,56 @@ def drifted_columns_df(
     )
 
 
+def cluster_reduced_z(
+    summary: Summary,
+    clustering: "DataFrame | dict[str, int] | None" = None,
+    num_clusters: int = 3,
+) -> DataFrame:
+    """Spark formulation of detect_drift's cluster-mean reduce (D6/D7,
+    reference: gate/drift.py:388-411): per-(column, statistic) z-scores
+    averaged as |z| per (partition, cluster, statistic) — the feature
+    reduction the clustered drift path feeds to kNN. Pinned against the
+    pandas reduce inside :func:`detect_drift` in test_drift.py and
+    oracle-gated (``zscores_clustered``).
+
+    ``clustering``: a (column, cluster:int) DataFrame, a column->cluster
+    dict, or None for a deterministic name-rank map (columns sorted by
+    name, cluster = rank mod ``num_clusters``) — the reproducible stand-
+    in a SQL twin can rebuild, where the engine's own compute_clusters
+    path uses similarity-driven agglomerative clusters.
+
+    Scale shape: the z table is metadata-scale (partitions x columns x
+    stats); the cluster map is column-count-scale and broadcast; the
+    reduce is one groupBy over metadata rows. Columns with no cluster
+    assignment drop out (inner join) exactly like pandas groupby's
+    NaN-key drop after the reference's left merge."""
+    pk = summary.partition_key
+    z = normalize(summary.df, pk, summary.statistics())
+    spark = summary.df.sparkSession
+    if clustering is None:
+        cmap = (
+            z.select("column")
+            .distinct()
+            .withColumn(
+                "cluster",
+                ((F.dense_rank().over(Window.orderBy("column")) - 1) % num_clusters).cast(
+                    "int"
+                ),
+            )
+        )
+    elif isinstance(clustering, dict):
+        cmap = spark.createDataFrame(
+            [(c, int(k)) for c, k in clustering.items()], "column string, cluster int"
+        )
+    else:
+        cmap = clustering
+    return (
+        z.join(F.broadcast(cmap), "column", "inner")
+        .groupBy(pk, "cluster", "statistic")
+        .agg(F.avg(F.abs(F.col("value"))).alias("value"))
+    )
+
+
 def name_to_ec(name: str, embedding_columns: list[str]) -> str:
     """Strip a trailing _{i} dimension suffix back to the embedding
     column base name (reference: gate/drift.py:306-325)."""

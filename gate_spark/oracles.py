@@ -135,6 +135,40 @@ SELECT {pk}, "column", statistic,
 FROM melted WINDOW w AS (PARTITION BY "column", statistic)"""
 
 
+def zscore_clustered_sql(
+    summary_subquery: str,
+    pk: str,
+    stats: list[str] | None = None,
+    num_clusters: int = 3,
+) -> str:
+    """Twin of gate_spark cluster_reduced_z (D6/D7): melt + z-score,
+    deterministic name-rank cluster map (dense_rank over sorted column
+    names mod ``num_clusters``), then mean |z| per (partition, cluster,
+    statistic)."""
+    stats = stats or GATE_STATS
+    melts = [
+        f"SELECT {pk}, \"column\", '{s}' AS statistic, CAST({s} AS DOUBLE) AS value"
+        f" FROM summ WHERE {s} IS NOT NULL"
+        for s in stats
+    ]
+    melted = "\nUNION ALL\n".join(melts)
+    return f"""WITH summ AS ({summary_subquery}),
+melted AS ({melted}),
+z AS (
+  SELECT {pk}, "column", statistic,
+    (value - avg(value) OVER w) / (stddev_samp(value) OVER w + 1e-10) AS value
+  FROM melted WINDOW w AS (PARTITION BY "column", statistic)
+),
+cmap AS (
+  SELECT "column",
+    CAST((dense_rank() OVER (ORDER BY "column") - 1) % {num_clusters} AS INT) AS cluster
+  FROM (SELECT DISTINCT "column" FROM z)
+)
+SELECT z.{pk}, cmap.cluster, z.statistic, {_f6('avg(abs(z.value))')} AS z
+FROM z JOIN cmap USING ("column")
+GROUP BY z.{pk}, cmap.cluster, z.statistic"""
+
+
 def drifted_columns_sql(
     summary_subquery: str,
     pk: str,

@@ -84,6 +84,48 @@ def test_drift_scores_dataframe(medium_df, df_with_drift):
     assert v1.iloc[-1]["is_drifted"]
 
 
+def test_cluster_reduced_z_matches_pandas(df_with_drift):
+    """The Spark cluster_reduced_z reduce (oracle-gated as the
+    zscores_clustered query) reproduces the pandas cluster-mean
+    feature reduction inside detect_drift for the same cluster map:
+    mean |z| per (partition, cluster, statistic), unassigned columns
+    dropped."""
+    import numpy as np
+
+    from gate_spark.operators.drift import Z_EPS, cluster_reduced_z, melt_summary
+
+    s = summarize(df_with_drift, columns=COLS3, partition_key="date",
+                  distinct_mode="exact", quantile_mode="nearest")
+    cmap = {"int_col": 0, "float_col": 0}  # string_col unassigned -> dropped
+    got = (
+        cluster_reduced_z(s, clustering=cmap)
+        .orderBy("date", "cluster", "statistic")
+        .toPandas()
+    )
+    assert set(got["cluster"]) == {0}
+
+    # pandas twin: the detect_drift reduce (drift.py merged-groupby)
+    melted = melt_summary(s.df, "date", s.statistics()).toPandas()
+    g = melted.groupby(["column", "statistic"])["value"]
+    melted["value"] = (melted["value"] - g.transform("mean")) / (
+        g.transform(lambda x: x.std(ddof=1)) + Z_EPS
+    )
+    melted = melted[melted["column"].isin(cmap)]
+    melted["cluster"] = melted["column"].map(cmap)
+    melted["value_abs"] = melted["value"].abs()
+    want = (
+        melted.groupby(["date", "cluster", "statistic"])["value_abs"]
+        .mean()
+        .reset_index()
+        .sort_values(["date", "cluster", "statistic"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert list(got["statistic"]) == list(want["statistic"])
+    assert np.allclose(got["value"], want["value_abs"], atol=1e-9)
+    s.unpersist()
+
+
 def test_drifted_columns_df_matches_pandas(df_with_drift):
     """The Spark drifted_columns_df formulation (oracle-gated as the
     drifted_columns query) reproduces the driver-side pandas

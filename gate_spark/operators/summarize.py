@@ -174,7 +174,7 @@ def summarize(
     previous: Sequence[Summary] | None = None,
     *,
     distinct_mode: str = "approx",  # "approx" (HLL, scale default) | "exact"
-    quantile_mode: str = "approx",  # "approx" (sketch) | "nearest" (gate parity) | "linear"
+    quantile_mode: str = "approx",  # "approx" | "nearest" (gate parity) | "linear" | "sketch" (KLL)
     extras: bool = False,  # add count/min/max/null_fraction/stddev (north-rule)
     accuracy: int = 10000,
     compute_embedding_examples: bool = True,
@@ -365,7 +365,10 @@ def _scalar_summary(
             long_df = long_df.drop("_occ", "_ndv")
         num_cols = sorted(needs_quantile)
         if num_cols:
-            qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+            if quantile_mode == "sketch":
+                qside = _kll_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+            else:
+                qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
             long_df = long_df.join(qside, [partition_key, "column"], "left")
             long_df = (
                 long_df.withColumn("p50", F.coalesce(F.col("_p50"), F.col("p50")))
@@ -462,11 +465,17 @@ def _scalar_summary(
             )
         long_df = long_df.drop("_occ", "_ndv")
 
-    # ---- pass 3 (gate-parity only): exact nearest-rank quantiles.
-    if quantile_mode == "nearest":
+    # ---- pass 3: exact nearest-rank quantiles (gate parity), or the
+    # KLL mergeable sketch (unbounded continuous columns — "nearest"
+    # assumes bounded value cardinality, percentile_approx has the
+    # profiled serial digest merge; see gate_spark/kll.py).
+    if quantile_mode in ("nearest", "sketch"):
         num_cols = sorted(needs_quantile)
         if num_cols:
-            qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+            if quantile_mode == "nearest":
+                qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+            else:
+                qside = _kll_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
             long_df = long_df.join(qside, [partition_key, "column"], "left")
             long_df = (
                 long_df.withColumn("p50", F.coalesce(F.col("_p50"), F.col("p50")))
@@ -632,6 +641,21 @@ def _nearest_rank_quantiles(
     """
     pairs = _melt(df, partition_key, cols, "double")
     return nearest_rank_quantiles_from_pairs(pairs, [partition_key, "column"], qs)
+
+
+def _kll_quantiles(
+    df: DataFrame, partition_key: str, cols: list[str], qs: tuple[float, ...]
+) -> DataFrame:
+    """KLL-sketch quantiles (``quantile_mode="sketch"``): the scale
+    path for *unbounded continuous* columns, where the value-keyed
+    exact cascade would sort data-scale distinct sets and
+    percentile_approx pays its serial per-group digest merge. Map-side
+    partial sketches + parallel per-(partition, column) merges — see
+    gate_spark/kll.py for the shape argument."""
+    from gate_spark.kll import kll_quantiles_from_pairs
+
+    pairs = _melt(df, partition_key, cols, "double")
+    return kll_quantiles_from_pairs(pairs, [partition_key, "column"], qs)
 
 
 def nearest_rank_quantiles_from_pairs(

@@ -176,3 +176,73 @@ def test_old_lineage_schema_still_reads(spark, tmp_path):
     )
     assert store.completed_partitions("rs", "snap") == {"p0", "p1"}
     assert store.sketch_state("rs", "snap") == {"p1": "[]"}
+
+
+# ----------------------------------------------------------- KLL sketch
+
+
+def test_kll_sketch_mode_differential(spark):
+    """quantile_mode="sketch" (KLL compactor) vs the exact nearest-rank
+    mode on a continuous high-cardinality column: every estimate must
+    fall within the +/-2% rank band of the exact distribution — the KLL
+    guarantee at k=200 is ~1% with high probability."""
+    import numpy as np
+    import pandas as pd
+
+    from gate_spark import summarize
+
+    rng = np.random.RandomState(11)
+    n = 60_000
+    pdf = pd.DataFrame(
+        {
+            "part": [f"p{i % 6}" for i in range(n)],
+            "x": rng.lognormal(3.0, 1.5, size=n),  # unbounded continuous
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+
+    exact = {
+        (r["part"], r["column"]): r
+        for r in summarize(
+            df, columns=["x"], partition_key="part",
+            quantile_mode="nearest", persist=False,
+        ).df.collect()
+    }
+    est = summarize(
+        df, columns=["x"], partition_key="part",
+        quantile_mode="sketch", persist=False,
+    ).df.collect()
+
+    by_part = {p: pdf[pdf["part"] == p]["x"].to_numpy() for p in pdf["part"].unique()}
+    for r in est:
+        key = (r["part"], r["column"])
+        vals = np.sort(by_part[r["part"]])
+        for stat, q in (("p50", 0.5), ("p95", 0.95)):
+            lo = vals[int(max(0, (q - 0.02)) * (len(vals) - 1))]
+            hi = vals[int(min(1, (q + 0.02)) * (len(vals) - 1))]
+            assert lo <= r[stat] <= hi, (key, stat, r[stat], lo, hi)
+            # and the exact mode agrees with numpy up to float32
+            assert abs(exact[key][stat] - np.quantile(vals, q)) / exact[key][stat] < 0.02
+
+
+def test_kll_merge_equals_stream(spark):
+    """Merging per-chunk KLL partials gives the same rank accuracy as
+    one streamed sketch, and the merged state stays O(k log n) — the
+    mergeability contract the two-phase Spark path relies on."""
+    import numpy as np
+
+    from gate_spark.kll import KLLSketch
+
+    rng = np.random.RandomState(3)
+    data = rng.standard_normal(200_000) * 50 + 7
+    merged = KLLSketch(200)
+    for chunk in np.array_split(data, 32):
+        p = KLLSketch(200)
+        p.update_many(chunk)
+        merged.merge(KLLSketch.from_json(p.to_json()))  # via serialized form
+    sv = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = merged.quantiles([q])[0]
+        rank = np.searchsorted(sv, est) / len(sv)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+    assert sum(b.size for b in merged.levels) < 1500

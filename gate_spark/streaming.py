@@ -14,11 +14,17 @@ edges — p50/p95 from an incrementally-maintained fixed-edge histogram
 (per-bin conditional sums are plain mergeable aggregates, the same
 sketch state as gate_spark/sketches.py; a quantile landing in the open
 top bin resolves to the aggregated true max, mirroring
-sketches.quantiles_from_hist(vmax=...)). occurrence_ratio remains
-batch-only (top-value frequency is not one-pass mergeable without a
-heavy-hitters sketch in the agg buffer) — for it, run the batch
-summarize over completed windows (the lambda-architecture split the
-checkpoint store enables).
+sketches.quantiles_from_hist(vmax=...)). occurrence_ratio (top-value
+frequency) uses a count-min-style heavy-hitters sketch expressed AS
+mergeable aggregates: ``depth`` independent hash rows of ``width``
+bucket counters, each a plain conditional sum the streaming agg buffer
+merges like any other; the estimate is ``min over rows of the max
+bucket count, / count``. Error bound (documented, pinned in tests):
+the estimate never UNDERshoots the true ratio, and overshoots by the
+collision mass that shares the heaviest bucket — expected <= count /
+width per row, concentrated by the min over ``depth`` independent
+rows; width 128 keeps the overshoot under ~1-2% of count for
+realistic skew.
 
 For drift against ALL prior history (not just a window),
 :func:`incremental_drift` is a custom stateful operator
@@ -43,6 +49,9 @@ def streaming_column_stats(
     watermark: str = "1 hour",
     partition_key: str | None = None,
     hist_edges: dict[str, list[float]] | None = None,
+    occ_columns: list[str] | None = None,
+    occ_width: int = 128,
+    occ_depth: int = 2,
 ) -> DataFrame:
     """Windowed incremental stats for numeric columns over an event-time
     stream: one row per (window, [partition_key], column) in the same
@@ -55,6 +64,16 @@ def streaming_column_stats(
     cumulative count reaches q*count — or the aggregated max when the
     mass lands in the open top bin. Columns without edges report null
     quantiles.
+
+    ``occ_columns`` adds a streaming occurrence_ratio estimate for the
+    listed columns via the count-min heavy-hitters formulation in the
+    module docstring: ``occ_depth x occ_width`` conditional sums ride
+    the same agg buffer (streaming-mergeable by construction). The
+    estimate is an upper bound on the true max-frequency ratio with
+    expected overshoot <= 1/occ_width per hash row. Cost: O(width x
+    depth) codegen'd when-sums per row per column — keep width modest
+    (<=256) and list only the columns that need it; other columns
+    report null.
 
     Works identically on a batch DataFrame (window() is a plain
     grouping expression), which is how the tests pin batch/stream
@@ -92,6 +111,22 @@ def streaming_column_stats(
             aggs.append(
                 F.sum((col < F.lit(edge)).cast("long")).alias(f"{c}__cum{j}")
             )
+        if c in (occ_columns or []):
+            raw = F.col(c)
+            for j in range(occ_depth):
+                bucket = F.pmod(
+                    F.xxhash64(raw.cast("string"), F.lit(j)), F.lit(occ_width)
+                )
+                aggs.append(
+                    F.array(
+                        *[
+                            F.sum(
+                                (raw.isNotNull() & (bucket == F.lit(b))).cast("long")
+                            )
+                            for b in range(occ_width)
+                        ]
+                    ).alias(f"{c}__cms{j}")
+                )
     wide = src.groupBy(*keys).agg(*aggs)
 
     stats = ["count", "coverage", "mean", "stddev", "num_unique_values", "min", "max"]
@@ -112,10 +147,20 @@ def streaming_column_stats(
         # aggregation carries the true max (quantiles_from_hist vmax)
         return expr.otherwise(F.col(f"{c}__max"))
 
+    def _occ_estimate(c: str) -> Column:
+        if c not in (occ_columns or []):
+            return F.lit(None).cast("double")
+        row_maxes = [F.array_max(F.col(f"{c}__cms{j}")) for j in range(occ_depth)]
+        est = row_maxes[0] if occ_depth == 1 else F.least(*row_maxes)
+        # upper-bound estimate (min over rows of the max bucket count);
+        # try_divide: empty window -> null, not a division error
+        return F.try_divide(est.cast("double"), F.col(f"{c}__count"))
+
     structs = [
         F.struct(
             F.lit(c).alias("column"),
             *[F.col(f"{c}__{s}").cast("double").alias(s) for s in stats],
+            _occ_estimate(c).cast("double").alias("occurrence_ratio"),
             _hist_quantile(c, 0.5).cast("double").alias("p50"),
             _hist_quantile(c, 0.95).cast("double").alias("p95"),
         )

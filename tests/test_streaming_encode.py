@@ -18,9 +18,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_streaming_matches_batch(spark, events, tmp_path):
     cols = ["value", "user_id"]
     edges = {"value": [float(x) for x in range(0, 2000, 25)]}
+    occ = dict(occ_columns=["user_id"], occ_width=128, occ_depth=2)
     batch = streaming_column_stats(
         events, "ts", cols, window_duration="1 day", partition_key="event_type",
-        hist_edges=edges,
+        hist_edges=edges, **occ,
     ).toPandas()
 
     # the file source streams a DIRECTORY of micro-batch files
@@ -30,7 +31,7 @@ def test_streaming_matches_batch(spark, events, tmp_path):
     stream = stream_parquet_dir(spark, stream_dir, events.schema, "ts")
     stats = streaming_column_stats(
         stream, "ts", cols, window_duration="1 day", partition_key="event_type",
-        hist_edges=edges,
+        hist_edges=edges, **occ,
     )
     run_available_now(stats, str(tmp_path / "ckpt"), "stream_stats")
     streamed = spark.sql("SELECT * FROM stream_stats").toPandas()
@@ -42,8 +43,36 @@ def test_streaming_matches_batch(spark, events, tmp_path):
     a = batch.sort_values(key).reset_index(drop=True)
     b = streamed.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) > 0
-    for c in ["count", "coverage", "mean", "stddev", "min", "max", "p50", "p95"]:
+    for c in ["count", "coverage", "mean", "stddev", "min", "max", "p50", "p95",
+              "occurrence_ratio"]:
         assert np.allclose(a[c].astype(float), b[c].astype(float), equal_nan=True)
+
+    # streaming occurrence_ratio: the heavy-hitters estimate NEVER
+    # undershoots the true max-frequency ratio and overshoots by at
+    # most the collision mass (expected 1/width per hash row; assert
+    # 4x slack). Columns not listed in occ_columns report null.
+    assert a[a["column"] == "value"]["occurrence_ratio"].isna().all()
+    au = a[a["column"] == "user_id"]
+    assert au["occurrence_ratio"].notna().all()
+    raw_u = (
+        events.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+            "user_id",
+        )
+        .toPandas()
+        .dropna(subset=["user_id"])
+    )
+    checked = 0
+    for (day, et), grp in raw_u.groupby(["day", "event_type"]):
+        true_ratio = grp["user_id"].value_counts().iloc[0] / len(grp)
+        row = au[(au["wstart"] == str(day)) & (au["event_type"] == et)]
+        assert len(row) == 1
+        est = float(row["occurrence_ratio"].iloc[0])
+        assert est >= true_ratio - 1e-12, (day, et, est, true_ratio)
+        assert est <= true_ratio + 4.0 / 128, (day, et, est, true_ratio)
+        checked += 1
+    assert checked > 0
 
     # streaming quantiles are real values: within one bin width of the
     # exact batch percentile for the histogrammed column; null for the

@@ -74,6 +74,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="on resume, skip the id-only scan of committed partitions that"
         " keeps doc_id uniqueness global (falls back to pending-local)",
     )
+    p.add_argument(
+        "--max-partitions-per-run", type=int, default=None,
+        help="bounded failure domain: validate at most M pending partitions"
+        " per invocation and commit their lineage, leaving the rest pending"
+        " (rerun until status=up-to-date). A kill mid-invocation loses only"
+        " that invocation's uncommitted batch.",
+    )
     p.add_argument("--app-name", default="gate_spark_validate")
     p.add_argument(
         "--local-cores", type=int, default=None,
@@ -170,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             # toggling it must not invalidate committed lineage
             if k not in (
                 "output", "lineage", "snapshot", "app_name", "local_cores",
-                "no_global_unique",
+                "no_global_unique", "max_partitions_per_run",
             )
         }
     )
@@ -193,11 +200,18 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         pending = store.pending_partitions(all_parts, run_spec, snapshot)
+    deferred = 0
+    if args.max_partitions_per_run and len(pending) > args.max_partitions_per_run:
+        # deterministic batch choice (pending is sorted): the next
+        # invocation picks up exactly where this one's commit ends
+        deferred = len(pending) - args.max_partitions_per_run
+        pending = pending[: args.max_partitions_per_run]
     summary_line = {
         "run_spec": run_spec,
         "snapshot": snapshot,
         "partitions": len(all_parts),
         "pending": len(pending),
+        "deferred": deferred,
     }
     if not pending:
         summary_line["status"] = "up-to-date"
@@ -359,7 +373,7 @@ def main(argv: list[str] | None = None) -> int:
             snapshots=stamps or None,
         )
     result.unpersist()
-    summary_line["status"] = "completed"
+    summary_line["status"] = "partial" if deferred else "completed"
     print(json.dumps(summary_line))
     return 0
 

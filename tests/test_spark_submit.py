@@ -178,6 +178,44 @@ def test_cli_per_partition_incremental(spark, tmp_path, capsys):
     assert viol.where(viol.key == stolen).count() >= 1
 
 
+def test_cli_max_partitions_per_run(spark, tmp_path, capsys):
+    """Bounded failure domain: --max-partitions-per-run M validates at
+    most M pending partitions per invocation and commits their lineage,
+    so a kill between invocations loses only one batch; repeated runs
+    drain the backlog deterministically to up-to-date with full output
+    coverage."""
+    import json as _json
+
+    from gate_spark.cli import main
+    from gate_spark.datagen import write_token_table
+
+    data = str(tmp_path / "tok")
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    write_token_table(spark, data, 8000, dup_frac=0.01, num_partitions=4)
+
+    def run(extra):
+        assert main([
+            "--input", data, "--output", out, "--lineage", lineage,
+            "--no-drift", "--sketch", "--local-cores", "8",
+        ] + extra) == 0
+        line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        return _json.loads(line)
+
+    j1 = run(["--max-partitions-per-run", "7"])
+    assert j1["status"] == "partial" and j1["pending"] == 7 and j1["deferred"] == 13
+    j2 = run(["--max-partitions-per-run", "7"])
+    assert j2["status"] == "partial" and j2["pending"] == 7 and j2["deferred"] == 6
+    j3 = run([])  # drain the rest uncapped
+    assert j3["status"] == "completed" and j3["pending"] == 6
+    j4 = run(["--max-partitions-per-run", "7"])
+    assert j4["status"] == "up-to-date" and j4["pending"] == 0
+    # the cap is an invocation detail, not a validation identity
+    assert len({j["run_spec"] for j in (j1, j2, j3, j4)}) == 1
+    verdicts = spark.read.parquet(f"{out}/verdicts")
+    assert verdicts.select("partition").distinct().count() == 20
+
+
 def test_escape_path_name_matches_spark(spark, tmp_path):
     """_drop_partition_dirs must address the SAME escaped directory
     Spark writes for special-character partition values."""

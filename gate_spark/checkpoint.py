@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gate_spark.localframe import local_df
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_spec", T.StringType(), False),
@@ -166,7 +168,7 @@ class CheckpointStore:
             )
             for p in partitions
         ]
-        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        df = local_df(self.spark, rows, LINEAGE_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
 
     def sketch_state(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gate_spark import kernels
+from gate_spark.localframe import local_df
 from gate_spark.operators.summarize import Summary
 
 Z_EPS = 1e-10  # gate/drift.py:500
@@ -401,8 +402,9 @@ def drift_scores(summary: Summary, k: int = 3) -> DataFrame:
         pct = kernels.percentile_of_score(others, float(scores[i])) / 100.0
         rows.append((str(part), float(scores[i]), pct, pct >= 0.95))
     spark = summary.df.sparkSession
-    return spark.createDataFrame(
-        rows, "partition string, score double, score_percentile double, is_drifted boolean"
+    return local_df(
+        spark, rows,
+        "partition string, score double, score_percentile double, is_drifted boolean",
     )
 
 
@@ -470,8 +472,9 @@ def drift_scores_driver(
         pct = kernels.percentile_of_score(others, float(scores[i])) / 100.0
         rows.append((str(part), float(scores[i]), pct, pct >= 0.95))
     spark = summary.df.sparkSession
-    return spark.createDataFrame(
-        rows, "partition string, score double, score_percentile double, is_drifted boolean"
+    return local_df(
+        spark, rows,
+        "partition string, score double, score_percentile double, is_drifted boolean",
     )
 
 
@@ -557,8 +560,9 @@ def cluster_reduced_z(
             )
         )
     elif isinstance(clustering, dict):
-        cmap = spark.createDataFrame(
-            [(c, int(k)) for c, k in clustering.items()], "column string, cluster int"
+        cmap = local_df(
+            spark, [(c, int(k)) for c, k in clustering.items()],
+            "column string, cluster int",
         )
     else:
         cmap = clustering

@@ -26,6 +26,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gate_spark.localframe import local_df
 from gate_spark.operators.summarize import Summary, summarize
 from gate_spark.operators.distribution import partition_histograms
 from gate_spark.operators.drift import drift_scores_driver
@@ -63,7 +64,8 @@ def _psi_ks_driver(hist, spark, psi_threshold: float, ks_threshold: float):
             rows.append(
                 (str(part), psi_v, ks_v, psi_v >= psi_threshold, ks_v >= ks_threshold)
             )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "partition string, psi double, ks double, psi_drifted boolean,"
         " ks_drifted boolean",
@@ -335,7 +337,7 @@ def validate_tokens(
     )
     # Violations are the ONE action over the full flagged frame; the
     # persisted result (bounded by the violating-row count — the same
-    # rows the caller writes out) is then the source for verdicts, so
+    # rows the caller writes out) is the source for verdicts, so
     # verdicts + violations together cost one full-frame pass instead
     # of two. Each violating row emits exactly one violations row per
     # violated constraint, so count(*) by (partition, constraint) over
@@ -345,36 +347,54 @@ def validate_tokens(
     violations = violations.persist()
 
     spark = df.sparkSession
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import BooleanType, LongType, StringType, StructField, StructType
+
+    # The aggregation that yields verdict counts is ALSO the action
+    # that materializes the violations cache (the caller's later
+    # violations write is then a pure cache rescan). The counts come
+    # back metadata-scale (partitions x 4 constraints), so the verdict
+    # join runs driver-side and the verdicts frame is a JVM
+    # LocalTableScan — jstack profiling showed the previous
+    # grid-join-broadcast formulation spending 37-45 s per force at
+    # 64M rows with near-zero CPU: the grid was a Python-RDD scan and
+    # all 32 task threads serialized behind PythonWorkerFactory
+    # worker creation (see localframe.py).
+    with _stage(stage_times, "violations_agg"):
+        vrows = violations.groupBy("partition", "constraint").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    vmap = {(r["partition"], r["constraint"]): r["n"] for r in vrows}
 
     pk_type = slim.schema["_pk"].dataType
-    grid = spark.createDataFrame(
-        [(r["_pk"], n, r["_rc"]) for r in pk_rows for n in names],
+
+    def _pk_str(v):
+        # violations.partition is `_pk` CAST TO STRING; mirror that
+        # cast driver-side (str() matches Spark's cast for the
+        # string/int partition keys this table shape allows)
+        return None if v is None else str(v)
+
+    verdicts = local_df(
+        spark,
+        [
+            (
+                r["_pk"],
+                n,
+                int(vmap.get((_pk_str(r["_pk"]), n), 0)),
+                r["_rc"],
+                vmap.get((_pk_str(r["_pk"]), n), 0) == 0,
+            )
+            for r in pk_rows
+            for n in names
+        ],
         StructType(
             [
                 StructField("partition", pk_type),
                 StructField("constraint", StringType()),
+                StructField("violation_count", LongType()),
                 StructField("row_count", LongType()),
+                StructField("passed", BooleanType()),
             ]
         ),
-    )
-    vcounts = violations.groupBy(
-        F.col("partition").alias("_vp"), F.col("constraint").alias("_vc")
-    ).agg(F.count(F.lit(1)).alias("_n"))
-    verdicts = (
-        grid.join(
-            F.broadcast(vcounts),
-            grid["partition"].cast("string").eqNullSafe(vcounts["_vp"])
-            & (grid["constraint"] == vcounts["_vc"]),
-            "left",
-        )
-        .select(
-            "partition",
-            "constraint",
-            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("violation_count"),
-            "row_count",
-            (F.coalesce(F.col("_n"), F.lit(0).cast("long")) == 0).alias("passed"),
-        )
     )
 
     # summaries over the slim scalars (array column summarized over its
@@ -509,7 +529,7 @@ def _history_histograms(
         return None, parts
     spark = history_sketches.sparkSession
     return (
-        spark.createDataFrame(out, "partition string, bin int, bin_count long"),
+        local_df(spark, out, "partition string, bin int, bin_count long"),
         parts,
     )
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gate_spark.localframe import local_df
 from gate_spark.operators.summarize import classify_type
 
 SKETCH_SCHEMA = T.StructType(
@@ -280,4 +281,4 @@ def sketches_from_json(
                     d.get("edges"),
                 )
             )
-    return spark.createDataFrame(rows, SKETCH_SCHEMA)
+    return local_df(spark, rows, SKETCH_SCHEMA)

@@ -129,3 +129,17 @@ def test_driver_drift_matches_spark_formulation(tokens, result):
         a["score_percentile"], b["score_percentile"], rtol=1e-12
     )
     assert a["is_drifted"].tolist() == b["is_drifted"].tolist()
+
+
+def test_metadata_frames_are_jvm_local_scans(result):
+    """No per-pass metadata-scale frame may be Python-RDD-backed:
+    a `Scan ExistingRDD` over parallelized pickles schedules Python
+    workers whose creation serializes under the PythonWorkerFactory
+    monitor (jstack-profiled at 37-45 s per force at 64M rows). The
+    verdicts / distribution / drift outputs must be LocalTableScan —
+    serialized once driver-side, scanned pure-JVM."""
+    for name in ("verdicts", "distribution", "drift"):
+        frame = getattr(result, name)
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan, (name, plan)
+        assert "ExistingRDD" not in plan, (name, plan)

@@ -46,4 +46,15 @@ def local_df(
     pdf = pd.DataFrame(rows, columns=struct.names, dtype=object)
     # object dtype end-to-end: preserves None (NULL) in int/bool
     # columns where pandas would otherwise coerce to NaN/float
-    return spark.createDataFrame(pdf, schema=struct)
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prior = spark.conf.get(arrow_key, "false")
+    if prior.lower() == "true":
+        return spark.createDataFrame(pdf, schema=struct)
+    # without Arrow, the pandas path degrades back to a parallelized
+    # Python RDD — force Arrow for this one driver-side conversion
+    # (metadata-scale rows; driver is single-threaded here)
+    spark.conf.set(arrow_key, "true")
+    try:
+        return spark.createDataFrame(pdf, schema=struct)
+    finally:
+        spark.conf.set(arrow_key, prior)

@@ -142,6 +142,29 @@ def q_summarize_lineitem(spark, sf_dir):
     return _rounded_summary(spark, sf_dir, "lineitem", "l_returnflag", LINEITEM_COLS)
 
 
+def q_summarize_sketch_quantiles(spark, sf_dir):
+    """KLL sketch machinery (quantile_mode="sketch", gate_spark/kll.py)
+    oracle-gated in its exact regime: with k >= the group row count no
+    level ever compacts, so the mapInPandas partial-sketch ->
+    applyInPandas merge pipeline returns nearest-rank-exact p50/p95 —
+    the approximation is off but every line of sketch
+    build/serialize/merge/query code runs and is hash-checked against
+    the DuckDB nearest-rank twin. Compacted-regime accuracy is pinned
+    separately (test_kll_sketch_mode_differential, ±2% rank band)."""
+    s = summarize(
+        _t(spark, sf_dir, "lineitem"),
+        columns=list(LINEITEM_COLS),
+        partition_key="l_returnflag",
+        distinct_mode="exact",
+        quantile_mode="sketch",
+        sketch_k=1 << 17,
+        persist=False,
+    )
+    return s.df.select(
+        "l_returnflag", "column", *[_r6(F.col(c)).alias(c) for c in GATE_STATS]
+    )
+
+
 def q_summarize_orders_extras(spark, sf_dir):
     return _rounded_summary(
         spark, sf_dir, "orders", "o_orderpriority", ORDERS_COLS, extras=True
@@ -474,6 +497,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "summarize_lineitem": q_summarize_lineitem,
+        "summarize_sketch_quantiles": q_summarize_sketch_quantiles,
         "summarize_orders_extras": q_summarize_orders_extras,
         "zscores_lineitem": q_zscores_lineitem,
         "zscores_clustered": q_zscores_clustered,
@@ -505,6 +529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "summarize_lineitem": oracles.summary_sql(
+            "lineitem", "l_returnflag", LINEITEM_COLS
+        ),
+        # the sketch query's uncompacted KLL quantiles are bit-identical
+        # to nearest-rank exact, so the oracle is the same twin SQL
+        "summarize_sketch_quantiles": oracles.summary_sql(
             "lineitem", "l_returnflag", LINEITEM_COLS
         ),
         "summarize_orders_extras": oracles.summary_sql(

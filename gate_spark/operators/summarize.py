@@ -181,6 +181,9 @@ def summarize(
     skew_salt: int | None = None,  # explicit two-phase salted aggregation
     quantile_columns: Sequence[str] | None = None,
     persist: bool = True,
+    sketch_k: int = 200,  # KLL size for quantile_mode="sketch"; k >= group
+    # row count means the sketch never compacts and p50/p95 are exact
+    # (bit-identical to quantile_mode="nearest")
 ) -> Summary:
     """Compute per-partition summaries (reference entry point:
     gate/summarize.py:49-117 -> Summary.fromRaw gate/summary.py:148-403).
@@ -228,6 +231,7 @@ def summarize(
                 accuracy=accuracy,
                 skew_salt=skew_salt,
                 quantile_columns=quantile_columns,
+                sketch_k=sketch_k,
             )
         )
 
@@ -291,6 +295,7 @@ def _scalar_summary(
     accuracy: int,
     skew_salt: int | None = None,
     quantile_columns: Sequence[str] | None = None,
+    sketch_k: int = 200,
 ) -> DataFrame:
     cols = list(column_types)
 
@@ -366,7 +371,9 @@ def _scalar_summary(
         num_cols = sorted(needs_quantile)
         if num_cols:
             if quantile_mode == "sketch":
-                qside = _kll_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+                qside = _kll_quantiles(
+                    wdf, partition_key, num_cols, (0.5, 0.95), k=sketch_k
+                )
             else:
                 qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
             long_df = long_df.join(qside, [partition_key, "column"], "left")
@@ -475,7 +482,9 @@ def _scalar_summary(
             if quantile_mode == "nearest":
                 qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
             else:
-                qside = _kll_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
+                qside = _kll_quantiles(
+                    wdf, partition_key, num_cols, (0.5, 0.95), k=sketch_k
+                )
             long_df = long_df.join(qside, [partition_key, "column"], "left")
             long_df = (
                 long_df.withColumn("p50", F.coalesce(F.col("_p50"), F.col("p50")))
@@ -644,7 +653,11 @@ def _nearest_rank_quantiles(
 
 
 def _kll_quantiles(
-    df: DataFrame, partition_key: str, cols: list[str], qs: tuple[float, ...]
+    df: DataFrame,
+    partition_key: str,
+    cols: list[str],
+    qs: tuple[float, ...],
+    k: int = 200,
 ) -> DataFrame:
     """KLL-sketch quantiles (``quantile_mode="sketch"``): the scale
     path for *unbounded continuous* columns, where the value-keyed
@@ -655,7 +668,7 @@ def _kll_quantiles(
     from gate_spark.kll import kll_quantiles_from_pairs
 
     pairs = _melt(df, partition_key, cols, "double")
-    return kll_quantiles_from_pairs(pairs, [partition_key, "column"], qs)
+    return kll_quantiles_from_pairs(pairs, [partition_key, "column"], qs, k=k)
 
 
 def nearest_rank_quantiles_from_pairs(

@@ -246,3 +246,38 @@ def test_kll_merge_equals_stream(spark):
         rank = np.searchsorted(sv, est) / len(sv)
         assert abs(rank - q) < 0.02, (q, est, rank)
     assert sum(b.size for b in merged.levels) < 1500
+
+
+def test_kll_uncompacted_equals_nearest(spark):
+    """sketch_k >= group row count => the KLL sketch never compacts and
+    p50/p95 are bit-identical to the exact nearest-rank mode — the
+    property that lets the correctness gate hash-check the sketch
+    machinery (summarize_sketch_quantiles query) against the DuckDB
+    nearest-rank twin."""
+    import numpy as np
+    import pandas as pd
+
+    from gate_spark import summarize
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "part": [f"p{i % 4}" for i in range(n)],
+            "x": rng.lognormal(2.0, 1.0, size=n),
+            "y": rng.randint(0, 50, size=n).astype("int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+
+    kw = dict(columns=["x", "y"], partition_key="part", persist=False)
+    exact = summarize(df, quantile_mode="nearest", **kw).df
+    sketch = summarize(df, quantile_mode="sketch", sketch_k=1 << 16, **kw).df
+
+    key = lambda r: (r["part"], r["column"])
+    e = {key(r): r for r in exact.collect()}
+    s = {key(r): r for r in sketch.collect()}
+    assert set(e) == set(s)
+    for k in e:
+        for stat in ("p50", "p95"):
+            assert e[k][stat] == s[k][stat], (k, stat, e[k][stat], s[k][stat])

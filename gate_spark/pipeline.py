@@ -286,7 +286,38 @@ def validate_tokens(
     with _stage(stage_times, "unique_agg"):
         dup_count = dupes.count()
     if dup_count <= broadcast_dupes_threshold:
-        flagged = slim.join(F.broadcast(dupes), "_key", "left")
+        # Long-keyed broadcast probe. jstack at 64M rows showed 20+/32
+        # executor threads inside the string-keyed UnsafeHashedRelation
+        # probe (HashedRelation.getValue -> BytesToBytesMap.safeLookup)
+        # — a memory-latency-bound, core-count-flat ~11 s term (the
+        # largest residual between measured scaling efficiency and the
+        # 0.8 target). Re-keying the tiny dup relation by
+        # xxhash64(_key) turns every row's probe into a
+        # LongHashedRelation lookup — measured 30x cheaper at 64M rows
+        # (31.7 s -> 1.05 s at local[32], vs a 1.02 s scan-only
+        # baseline; BENCH.md round 4). The string key is re-verified
+        # AFTER the probe, so a probe-side hash collision can never
+        # flag a non-duplicate; build-side hash uniqueness is checked
+        # with a metadata-scale action (~2^-32 odds at 64k keys), and
+        # on the astronomically-unlikely collision we fall back to the
+        # exact string-keyed join.
+        dupes_h = dupes.select(
+            F.xxhash64("_key").alias("_kh"),
+            F.col("_key").alias("_dup_key"),
+            "_dup",
+        )
+        if dupes_h.select("_kh").distinct().count() == dup_count:
+            flagged = (
+                slim.withColumn("_kh", F.xxhash64("_key"))
+                .join(F.broadcast(dupes_h), "_kh", "left")
+                .withColumn(
+                    "_dup",
+                    F.when(F.col("_key") == F.col("_dup_key"), F.col("_dup")),
+                )
+                .drop("_kh", "_dup_key")
+            )
+        else:
+            flagged = slim.join(F.broadcast(dupes), "_key", "left")
         flagged_cached = dupes
     else:
         # dup set too large to hold: release it and share ONE

@@ -165,6 +165,7 @@ def lsh_candidate_pairs(
     num_bands: int,
     rows_per_band: int,
     max_bucket_size: int = 1000,
+    bucket_mode: str = "hash",  # "hash" (scale) | "concat" (oracle parity)
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs from banded LSH: (id_a, id_b, n_bands) where the
     pair collided in ``n_bands`` bands (id_a < id_b).
@@ -179,7 +180,32 @@ def lsh_candidate_pairs(
     rejected: AQE's empty-relation propagation can prune the
     CollectMetrics node when every bucket is dropped, which is
     precisely when the signal matters.)
+
+    ``bucket_mode="hash"`` (the scale default) keys each bucket by
+    ``xxhash64(band, slice...)`` — an 8-byte long instead of a
+    concatenated string of the band's signature values. The window
+    count, the self-join shuffle, and the join comparator all run on
+    long keys (the round-4 uniqueness-probe lesson: string-keyed hash
+    relations are memory-latency-bound). A 2^-64 bucket-hash collision
+    only ever ADDS a candidate pair, which the downstream
+    ``est_jaccard >= threshold`` verification filters — LSH is already
+    candidate-generation + verify, so approximation lives where the
+    algorithm already has it. ``bucket_mode="concat"`` keeps the exact
+    string bucket a SQL oracle can reproduce (used by hash_mode="md5").
     """
+    def _slice(b: int) -> list:
+        return [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+
+    if bucket_mode == "hash":
+        def _bucket(b: int):
+            return F.xxhash64(F.lit(b), *_slice(b))
+    else:
+        def _bucket(b: int):
+            return F.concat_ws(",", *[e.cast("string") for e in _slice(b)])
+
     bands = sig_df.select(
         id_col,
         F.explode(
@@ -187,13 +213,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
+                        _bucket(b).alias("bucket"),
                     )
                     for b in range(num_bands)
                 ]
@@ -265,7 +285,8 @@ def minhash_dedup(
     # once — at scale this is the "signature table" materialization.
     sigs = sigs.persist()
     pairs, dropped = lsh_candidate_pairs(
-        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size,
+        bucket_mode="concat" if hash_mode == "md5" else "hash",
     )
     est = minhash_estimated_jaccard(sigs, pairs, id_col, num_perm)
     out = est.where(F.col("est_jaccard") >= F.lit(threshold))

@@ -279,7 +279,7 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     out = dd.ngram_jaccard_pairs(
         _docs_dup_view(spark, sf_dir), "doc_id", "text",
-        n=3, threshold=0.5, max_gram_df=10_000_000,
+        n=3, threshold=0.5, max_gram_df=10_000_000, gram_mode="exact",
     )
     return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
 

@@ -334,9 +334,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_gram_df: int = 100,
+    gram_mode: str = "hash",  # "hash" (scale) | "exact" (oracle parity)
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-duplicates:
+    """Word-n-gram Jaccard near-duplicates:
     (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+
+    ``gram_mode="hash"`` (the scale default) replaces each gram with
+    its xxhash64 right after the explode, so every downstream shuffle —
+    the document-frequency groupBy, the rare-gram join, the candidate
+    self-join, and the collect_set/array_intersect verification — runs
+    on 8-byte longs instead of multi-word strings (the round-4
+    uniqueness-probe lesson). Jaccard is then exact over 64-bit gram
+    fingerprints: a cross-doc fingerprint collision (≈ |gram set|² /
+    2^64 per pair) could inflate one intersection by 1 — the standard
+    fingerprinting trade accepted by content-dedup systems.
+    ``gram_mode="exact"`` keeps raw gram strings end to end (the
+    SQL-reproducible variant the DuckDB oracle checks).
 
     Candidates share >= 1 gram. Grams appearing in more than
     ``max_gram_df`` docs are excluded from candidate *generation* (a
@@ -353,6 +366,8 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
     )
+    if gram_mode == "hash":
+        grams = grams.select(id_col, F.xxhash64("_g").alias("_g"))
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     gram_df = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     rare = grams.join(gram_df.where(F.col("_df") <= max_gram_df), "_g")

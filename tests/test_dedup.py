@@ -75,6 +75,24 @@ def test_ngram_jaccard_exact_values(corpus):
     assert 0.4 <= lookup[(2, 102)] < 1.0
 
 
+def test_ngram_gram_modes_agree(corpus):
+    """gram_mode="hash" (64-bit gram fingerprints, long-keyed shuffles)
+    must produce the same pairs and jaccard values as gram_mode="exact"
+    (raw gram strings) on real text — collisions are a 2^-64 event."""
+    kw = dict(n=3, threshold=0.4)
+    exact = dd.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", gram_mode="exact", **kw
+    ).toPandas()
+    hashed = dd.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", gram_mode="hash", **kw
+    ).toPandas()
+    key = lambda df: {
+        tuple(sorted((a, b))): round(j, 12)
+        for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"])
+    }
+    assert key(exact) == key(hashed)
+
+
 def test_gram_df_cap_drops_stopword_grams(spark):
     # every doc shares the same 3-gram; cap=1 removes it from candidate
     # generation, so no pairs survive

@@ -181,6 +181,9 @@ def summarize(
     skew_salt: int | None = None,  # explicit two-phase salted aggregation
     quantile_columns: Sequence[str] | None = None,
     persist: bool = True,
+    occ_value_mode: str = "exact",  # "hash": 64-bit value fingerprints for the
+    # occurrence/exact-distinct shuffle (near-unique columns: same result,
+    # ~3x fewer shuffle bytes; see _occurrence_and_distinct)
     sketch_k: int = 200,  # KLL size for quantile_mode="sketch"; k >= group
     # row count means the sketch never compacts and p50/p95 are exact
     # (bit-identical to quantile_mode="nearest")
@@ -232,6 +235,7 @@ def summarize(
                 skew_salt=skew_salt,
                 quantile_columns=quantile_columns,
                 sketch_k=sketch_k,
+                occ_value_mode=occ_value_mode,
             )
         )
 
@@ -296,6 +300,7 @@ def _scalar_summary(
     skew_salt: int | None = None,
     quantile_columns: Sequence[str] | None = None,
     sketch_k: int = 200,
+    occ_value_mode: str = "exact",
 ) -> DataFrame:
     cols = list(column_types)
 
@@ -352,7 +357,9 @@ def _scalar_summary(
         )
         occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
         if occ_cols:
-            side = _occurrence_and_distinct(wdf, partition_key, occ_cols)
+            side = _occurrence_and_distinct(
+            wdf, partition_key, occ_cols, value_mode=occ_value_mode
+        )
             long_df = long_df.join(side, [partition_key, "column"], "left")
             long_df = long_df.withColumn(
                 "occurrence_ratio",
@@ -454,7 +461,9 @@ def _scalar_summary(
     # two-level aggregation (gate/summary.py:240-249; S8 mapping).
     occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
     if occ_cols:
-        side = _occurrence_and_distinct(wdf, partition_key, occ_cols)
+        side = _occurrence_and_distinct(
+            wdf, partition_key, occ_cols, value_mode=occ_value_mode
+        )
         long_df = long_df.join(side, [partition_key, "column"], "left")
         long_df = long_df.withColumn(
             "occurrence_ratio",
@@ -614,7 +623,7 @@ def _melt(
 
 
 def _occurrence_and_distinct(
-    df: DataFrame, partition_key: str, cols: list[str]
+    df: DataFrame, partition_key: str, cols: list[str], value_mode: str = "exact"
 ) -> DataFrame:
     """max-frequency ratio + exact distinct per (partition, column).
 
@@ -624,8 +633,21 @@ def _occurrence_and_distinct(
     partial-aggregated, so heavy values combine map-side (skew-safe).
     Null handling pinned by the reference fixture: denominator excludes
     nulls (tests/test_summary.py:46-48 — 2/3 for [cat,dog,dog]).
+
+    ``value_mode="hash"`` groups by ``xxhash64(value)`` instead of the
+    value string. On a near-unique column (e.g. a doc id) map-side
+    combine cannot shrink this shuffle — every row crosses the wire —
+    so the 8-byte fingerprint cuts shuffle bytes and comparator cost
+    several-fold (the round-4 long-keys lesson). Counts per 64-bit
+    fingerprint equal counts per value up to 2^-64 collisions, so
+    occurrence_ratio and the exact distinct count are unchanged in
+    practice; keep ``"exact"`` where bit-exact SQL parity is checked.
     """
     pairs = _melt(df, partition_key, cols, "string")
+    if value_mode == "hash":
+        pairs = pairs.select(
+            partition_key, "column", F.xxhash64("value").alias("value")
+        )
     counts = pairs.groupBy(partition_key, "column", "value").agg(
         F.count(F.lit(1)).alias("_cnt")
     )

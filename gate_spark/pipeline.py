@@ -160,6 +160,12 @@ def validate_tokens(
     truncate_lineage: bool = False,
     broadcast_dupes_threshold: int = 2_000_000,
     external_dup_keys: DataFrame | None = None,
+    occ_value_mode: str = "hash",  # 64-bit value fingerprints for the
+    # occurrence/exact-distinct shuffle over the near-unique id column:
+    # map-side combine cannot shrink that shuffle (every row crosses the
+    # wire), so the 8-byte key cuts its bytes ~3x; counts per fingerprint
+    # equal counts per value up to 2^-64 collisions. Pass "exact" for
+    # bit-exact SQL-parity comparisons.
     hist_edges: list[float] | None = None,
     history_sketches: DataFrame | None = None,
     stage_times: dict | None = None,
@@ -444,6 +450,7 @@ def validate_tokens(
         quantile_mode=quantile_mode,
         extras=True,
         accuracy=accuracy,
+        occ_value_mode=occ_value_mode,
         # No quantiles for the id column: a percentile_approx digest
         # over ~N distinct ids is ~accuracy samples per map partial and
         # the per-group final merge is single-threaded — profiled at

@@ -96,20 +96,38 @@ class UniqueConstraint(Constraint):
     column: str = ""
 
     def prepare(self, df: DataFrame) -> DataFrame:
+        # The join-back probes once per ROW, so its key must be cheap:
+        # jstack at 64M rows showed a string-keyed broadcast-hash probe
+        # (UnsafeHashedRelation) memory-latency-bound and core-count-
+        # flat, ~30x slower than a long-keyed one (BENCH.md round 4).
+        # Group the (rare) duplicated keys by xxhash64 and verify the
+        # actual value against the collected key list AFTER the probe —
+        # exact under hash collisions, and the build side is unique per
+        # hash by construction, so no probe row can be duplicated and no
+        # driver-side uniqueness action is needed.
         dupes = (
             df.groupBy(self.column)
             .agg(F.count(F.lit(1)).alias("_dup_cnt"))
             .where(F.col("_dup_cnt") > 1)
-            .select(self.column, "_dup_cnt")
+            .groupBy(F.xxhash64(self.column).alias("_kh"))
+            .agg(F.collect_list(self.column).alias("_dup_keys"))
         )
         # duplicated keys are *usually* rare, but unbounded (a wholesale
         # re-ingestion makes them ~N rows) — no broadcast hint; AQE
         # picks broadcast when the built side is actually small and
         # falls back to a shuffle join when it is not.
         flag_name = _flag_col(self.name)
-        return df.join(dupes, self.column, "left").withColumn(
-            flag_name, F.col("_dup_cnt").isNotNull()
-        ).drop("_dup_cnt")
+        return (
+            df.withColumn("_kh", F.xxhash64(self.column))
+            .join(dupes, "_kh", "left")
+            .withColumn(
+                flag_name,
+                F.coalesce(
+                    F.array_contains("_dup_keys", F.col(self.column)), F.lit(False)
+                ),
+            )
+            .drop("_kh", "_dup_keys")
+        )
 
     def flag(self, df: DataFrame) -> Column:
         return F.col(_flag_col(self.name))

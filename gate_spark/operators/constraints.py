@@ -105,28 +105,33 @@ class UniqueConstraint(Constraint):
         # exact under hash collisions, and the build side is unique per
         # hash by construction, so no probe row can be duplicated and no
         # driver-side uniqueness action is needed.
+        # internal names are derived from the constraint name (like
+        # _flag_col) so a user table that already has a column literally
+        # named "_kh"/"_dup_keys" cannot collide with or be dropped by
+        # this join (ADVICE round 4).
+        flag_name = _flag_col(self.name)
+        kh, dup_keys = flag_name + "__kh", flag_name + "__dup_keys"
         dupes = (
             df.groupBy(self.column)
-            .agg(F.count(F.lit(1)).alias("_dup_cnt"))
-            .where(F.col("_dup_cnt") > 1)
-            .groupBy(F.xxhash64(self.column).alias("_kh"))
-            .agg(F.collect_list(self.column).alias("_dup_keys"))
+            .agg(F.count(F.lit(1)).alias(flag_name + "__dup_cnt"))
+            .where(F.col(flag_name + "__dup_cnt") > 1)
+            .groupBy(F.xxhash64(self.column).alias(kh))
+            .agg(F.collect_list(self.column).alias(dup_keys))
         )
         # duplicated keys are *usually* rare, but unbounded (a wholesale
         # re-ingestion makes them ~N rows) — no broadcast hint; AQE
         # picks broadcast when the built side is actually small and
         # falls back to a shuffle join when it is not.
-        flag_name = _flag_col(self.name)
         return (
-            df.withColumn("_kh", F.xxhash64(self.column))
-            .join(dupes, "_kh", "left")
+            df.withColumn(kh, F.xxhash64(self.column))
+            .join(dupes, kh, "left")
             .withColumn(
                 flag_name,
                 F.coalesce(
-                    F.array_contains("_dup_keys", F.col(self.column)), F.lit(False)
+                    F.array_contains(dup_keys, F.col(self.column)), F.lit(False)
                 ),
             )
-            .drop("_kh", "_dup_keys")
+            .drop(kh, dup_keys)
         )
 
     def flag(self, df: DataFrame) -> Column:
@@ -157,18 +162,25 @@ class MembershipConstraint(Constraint):
 @dataclass(frozen=True)
 class VocabBoundsConstraint(Constraint):
     """Every element of the token array must lie in [lo, hi)
-    (north_star: vocab-range bounds). `F.exists` is codegen'd JVM-side —
-    no Python in the hot path."""
+    (north_star: vocab-range bounds).
+
+    Formulated as ``array_min < lo OR array_max >= hi`` — the same
+    codegen'd expressions the fused pipeline uses
+    (pipeline.py `validate_tokens`). Higher-order functions like
+    ``F.exists`` are CodegenFallback (interpreted, one boxed lambda call
+    per element), and on a token-array scan that is the whole bill;
+    min/max are equivalent for element-null-free arrays (token arrays
+    here). If element nulls must themselves be detected, add a
+    NotNullElements-style constraint — min/max skip them."""
 
     tokens_col: str = "tokens"
     lo: int = 0
     hi: int = 50257
 
     def flag(self, df: DataFrame) -> Column:
-        bad = F.exists(
-            F.col(self.tokens_col),
-            lambda x: (x < F.lit(self.lo)) | (x >= F.lit(self.hi)),
-        )
+        mn = F.array_min(F.col(self.tokens_col))
+        mx = F.array_max(F.col(self.tokens_col))
+        bad = (mn < F.lit(self.lo)) | (mx >= F.lit(self.hi))
         return F.coalesce(bad, F.lit(False))
 
     def detail(self, df: DataFrame) -> Column:

@@ -24,6 +24,8 @@ Two scoring implementations, selected by ``impl``:
 
 from __future__ import annotations
 
+from itertools import islice
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -115,6 +117,24 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
     return scored.mapInPandas(gen, schema)
 
 
+# diagnostic counters for the chunked cosine_topk path, updated per
+# call: tests assert broadcasts never accumulate (created == destroyed
+# on every multi-chunk run).
+BROADCAST_AUDIT = {"created": 0, "destroyed": 0}
+
+
+def _tree_union(dfs: list) -> DataFrame:
+    """Balanced union: log-depth plan instead of a left-deep chain —
+    a 1,200-chunk run builds a ~11-level tree, not a 1,200-branch
+    spine on the driver."""
+    while len(dfs) > 1:
+        dfs = [
+            dfs[i].unionByName(dfs[i + 1]) if i + 1 < len(dfs) else dfs[i]
+            for i in range(0, len(dfs), 2)
+        ]
+    return dfs[0]
+
+
 def _finish_topk(cand: DataFrame, k: int) -> DataFrame:
     """Exact final top-k over the (already partially-reduced) candidate
     table. The window sort here runs over metadata-scale input."""
@@ -191,6 +211,7 @@ def cosine_topk(
         qmat = np.array([r["_qv"] for r in chunk_rows], dtype=np.float64)
         qnorm = np.linalg.norm(qmat, axis=1)
         bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+        BROADCAST_AUDIT["created"] += 1
 
         def gen(batches):
             b_qids, b_q, b_qn = bc.value
@@ -224,23 +245,57 @@ def cosine_topk(
                         {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
                     )
 
-        return corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema)
+        return corpus.select(corpus_id, corpus_vec).mapInPandas(gen, out_schema), bc
 
+    # Stream query chunks with bounded driver memory (toLocalIterator:
+    # at most one chunk of rows held at a time). The single-chunk case
+    # — the common gate workload — keeps the fully lazy plan with its
+    # one broadcast (reclaimed with the session). Multi-chunk runs
+    # materialize each chunk's EXACT top-k before moving on: chunks
+    # partition the queries disjointly, so the global answer is the
+    # union of per-chunk answers, each only |chunk| x k rows; the
+    # chunk's broadcast is then destroy()ed, so live broadcasts never
+    # accumulate (round-4 hygiene item), and the persisted pieces are
+    # combined with a log-depth tree union instead of a
+    # chunks-long left-deep spine. On a real cluster, pieces would be
+    # scratch-table writes; persisted LocalTableScan-sized frames are
+    # the local-mode equivalent.
     chunk_size = max(1, int(query_chunk_size))
-    cand = None
-    buf: list = []
-    for row in q.toLocalIterator():
+    it = q.toLocalIterator()
+    first = list(islice(it, chunk_size))
+    if not first:  # empty query table
+        return _finish_topk(spark.createDataFrame([], out_schema), k)
+    lookahead = list(islice(it, 1))
+    if not lookahead:
+        cand, _bc = chunk_candidates(first)
+        return _finish_topk(cand, k)
+
+    pieces: list = []
+
+    def run_chunk(rows):
+        cand, bc = chunk_candidates(rows)
+        # localCheckpoint (eager) TRUNCATES the lineage — a mere
+        # persist+count still carries the broadcast in the cached RDD's
+        # recovery lineage, and destroy() would then fail later task
+        # serialization with INTERNAL_ERROR_BROADCAST. The checkpointed
+        # piece is only |chunk| x k rows, so the
+        # deserialized-object-row cost that rules localCheckpoint out
+        # for data-scale frames (see pipeline.py) is irrelevant here.
+        piece = _finish_topk(cand, k).localCheckpoint(eager=True)
+        bc.destroy()
+        BROADCAST_AUDIT["destroyed"] += 1
+        pieces.append(piece)
+
+    run_chunk(first)
+    buf: list = lookahead
+    for row in it:
         buf.append(row)
         if len(buf) >= chunk_size:
-            piece = chunk_candidates(buf)
-            cand = piece if cand is None else cand.unionByName(piece)
+            run_chunk(buf)
             buf = []
     if buf:
-        piece = chunk_candidates(buf)
-        cand = piece if cand is None else cand.unionByName(piece)
-    if cand is None:  # empty query table
-        cand = spark.createDataFrame([], out_schema)
-    return _finish_topk(cand, k)
+        run_chunk(buf)
+    return _tree_union(pieces)
 
 
 def train_ivf_centroids(

@@ -357,9 +357,10 @@ def _scalar_summary(
         )
         occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
         if occ_cols:
-            side = _occurrence_and_distinct(
-            wdf, partition_key, occ_cols, value_mode=occ_value_mode
-        )
+            side = _occ_distinct_side(
+                wdf, partition_key, needs_occ, needs_distinct,
+                distinct_mode, occ_value_mode,
+            )
             long_df = long_df.join(side, [partition_key, "column"], "left")
             long_df = long_df.withColumn(
                 "occurrence_ratio",
@@ -461,8 +462,9 @@ def _scalar_summary(
     # two-level aggregation (gate/summary.py:240-249; S8 mapping).
     occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
     if occ_cols:
-        side = _occurrence_and_distinct(
-            wdf, partition_key, occ_cols, value_mode=occ_value_mode
+        side = _occ_distinct_side(
+            wdf, partition_key, needs_occ, needs_distinct,
+            distinct_mode, occ_value_mode,
         )
         long_df = long_df.join(side, [partition_key, "column"], "left")
         long_df = long_df.withColumn(
@@ -620,6 +622,41 @@ def _melt(
         .select(partition_key, "_cv.column", "_cv.value")
         .where(F.col("value").isNotNull())
     )
+
+
+def _occ_distinct_side(
+    df: DataFrame,
+    partition_key: str,
+    needs_occ: set,
+    needs_distinct: set,
+    distinct_mode: str,
+    occ_value_mode: str,
+) -> DataFrame:
+    """Occurrence/exact-distinct side table with the "exact" contract
+    enforced: a column whose ``num_unique_values`` is reported under
+    ``distinct_mode="exact"`` is ALWAYS counted over exact values, even
+    when ``occ_value_mode="hash"`` — a distinct count over 64-bit
+    fingerprints is fingerprint-exact, not exact, and the API must not
+    silently weaken the label (ADVICE round 4). Hash fingerprints apply
+    only to columns feeding occurrence_ratio alone, where counts per
+    fingerprint equal counts per value up to 2^-64 collisions and the
+    ratio is unchanged. The two column sets are disjoint, so total
+    shuffled pairs match the single-pass formulation; the only extra
+    cost in the mixed regime is a second melt scan of the (persisted)
+    input."""
+    exact_cols = sorted(needs_distinct) if distinct_mode == "exact" else []
+    hash_ok = sorted(set(needs_occ) - set(exact_cols))
+    occ_cols = sorted(set(needs_occ) | set(exact_cols))
+    if occ_value_mode != "hash" or not exact_cols:
+        return _occurrence_and_distinct(
+            df, partition_key, occ_cols, value_mode=occ_value_mode
+        )
+    side = _occurrence_and_distinct(df, partition_key, exact_cols, value_mode="exact")
+    if hash_ok:
+        side = side.unionByName(
+            _occurrence_and_distinct(df, partition_key, hash_ok, value_mode="hash")
+        )
+    return side
 
 
 def _occurrence_and_distinct(

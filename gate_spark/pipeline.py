@@ -165,7 +165,11 @@ def validate_tokens(
     # map-side combine cannot shrink that shuffle (every row crosses the
     # wire), so the 8-byte key cuts its bytes ~3x; counts per fingerprint
     # equal counts per value up to 2^-64 collisions. Pass "exact" for
-    # bit-exact SQL-parity comparisons.
+    # bit-exact SQL-parity comparisons. When distinct_mode="exact",
+    # columns whose num_unique_values feeds the exact distinct count are
+    # ALWAYS counted over exact values regardless of this flag — the
+    # "exact" label is never silently fingerprint-weakened
+    # (summarize._occ_distinct_side).
     hist_edges: list[float] | None = None,
     history_sketches: DataFrame | None = None,
     stage_times: dict | None = None,
@@ -290,7 +294,16 @@ def validate_tokens(
         )
     dupes = dupes.persist()  # consumed by count + 2 joins; rows bounded below
     with _stage(stage_times, "unique_agg"):
-        dup_count = dupes.count()
+        # One action yields both the dup count (join-strategy gate) and
+        # the distinct-hash count (build-side collision check for the
+        # long-keyed probe below): folding them keeps stage timings
+        # honest and avoids a second pass that could silently recompute
+        # the groupBy if the dupes cache were evicted (ADVICE round 4).
+        _dup_row = dupes.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.xxhash64("_key")).alias("_nh"),
+        ).collect()[0]
+        dup_count, dup_hash_count = _dup_row["_n"], _dup_row["_nh"]
     if dup_count <= broadcast_dupes_threshold:
         # Long-keyed broadcast probe. jstack at 64M rows showed 20+/32
         # executor threads inside the string-keyed UnsafeHashedRelation
@@ -312,7 +325,7 @@ def validate_tokens(
             F.col("_key").alias("_dup_key"),
             "_dup",
         )
-        if dupes_h.select("_kh").distinct().count() == dup_count:
+        if dup_hash_count == dup_count:
             flagged = (
                 slim.withColumn("_kh", F.xxhash64("_key"))
                 .join(F.broadcast(dupes_h), "_kh", "left")

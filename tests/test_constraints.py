@@ -90,6 +90,60 @@ def test_passed_flag_consistency(tokens):
     assert bad.count() == 0
 
 
+def test_unique_constraint_tolerates_reserved_user_columns(spark):
+    # a user table that already has columns named like the join's old
+    # internals must not break or be silently dropped (ADVICE round 4)
+    df = spark.createDataFrame(
+        [("a", "p", 1, ["x"]), ("a", "p", 2, ["y"]), ("b", "q", 3, ["z"])],
+        "doc_id string, part string, _kh int, _dup_keys array<string>",
+    )
+    verdicts, violations = evaluate_constraints(
+        df, "part", [UniqueConstraint(name="u", column="doc_id")], key_column="doc_id"
+    )
+    v = {r["partition"]: r["violation_count"] for r in verdicts.collect()}
+    assert v == {"p": 2, "q": 0}
+    # user columns survive prepare() untouched
+    prepared = UniqueConstraint(name="u", column="doc_id").prepare(df)
+    assert "_kh" in prepared.columns and "_dup_keys" in prepared.columns
+    assert prepared.where(F.col("_kh").isNull()).count() == 0
+
+
+def test_vocab_bounds_minmax_matches_exists(spark):
+    # the codegen'd array_min/array_max formulation must agree with the
+    # element-wise exists() semantics on null-free token arrays,
+    # including empty and NULL arrays (VERDICT round 4 item 2)
+    rows = [
+        ("ok", [0, 5, 10]),
+        ("low", [-1, 5]),
+        ("high", [5, 99]),
+        ("both", [-3, 120]),
+        ("edge_lo", [0]),
+        ("edge_hi", [49]),  # hi=50 exclusive
+        ("at_hi", [50]),
+        ("empty", []),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    c = VocabBoundsConstraint(name="vb", tokens_col="tokens", lo=0, hi=50)
+    got = {
+        r["doc_id"]: r["_f"]
+        for r in df.select("doc_id", c.flag(df).alias("_f")).collect()
+    }
+    exists_ref = {
+        r["doc_id"]: r["_f"]
+        for r in df.select(
+            "doc_id",
+            F.coalesce(
+                F.exists("tokens", lambda x: (x < F.lit(0)) | (x >= F.lit(50))),
+                F.lit(False),
+            ).alias("_f"),
+        ).collect()
+    }
+    assert got == exists_ref
+    assert got["low"] and got["high"] and got["both"] and got["at_hi"]
+    assert not (got["ok"] or got["edge_lo"] or got["edge_hi"] or got["empty"] or got["null"])
+
+
 def test_max_violation_examples_cap(tokens):
     _, violations = evaluate_constraints(
         tokens, "source", CONSTRAINTS, key_column="doc_id", max_violation_examples=3

@@ -63,6 +63,33 @@ def test_cosine_topk_chunked_queries(emb):
     assert np.allclose(one["cosine"], chunked["cosine"])
 
 
+def test_chunked_broadcasts_do_not_accumulate(emb):
+    """Round-4 hygiene item: every multi-chunk broadcast must be
+    destroy()ed once its chunk's top-k is materialized — a 1,200-chunk
+    run must not hold 1,200 live broadcasts — and the combined plan
+    must be a log-depth tree, not a chunks-long union spine."""
+    before = dict(sim.BROADCAST_AUDIT)
+    queries = emb.where(F.col("vec_id") < 12)  # 12 queries, chunk=2 -> 6 chunks
+    out = sim.cosine_topk(
+        emb, queries, query_chunk_size=2,
+        corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=3,
+    )
+    created = sim.BROADCAST_AUDIT["created"] - before["created"]
+    destroyed = sim.BROADCAST_AUDIT["destroyed"] - before["destroyed"]
+    assert created == 6
+    assert destroyed == created  # zero live broadcasts left behind
+    assert out.count() == 12 * 3
+    # and the answer still matches the single-chunk path
+    one = sim.cosine_topk(
+        emb, queries,
+        corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=3,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    many = out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert one["neighbor_id"].tolist() == many["neighbor_id"].tolist()
+
+
 def test_ivf_topk_recall(emb):
     exact = sim.cosine_topk(
         emb, emb.where(F.col("vec_id") < 5),

@@ -93,6 +93,32 @@ def test_ngram_gram_modes_agree(corpus):
     assert key(exact) == key(hashed)
 
 
+def test_lsh_bucket_modes_agree(corpus):
+    """bucket_mode="hash" (xxhash64 long bucket keys, the scale
+    default) must generate the same candidate pairs with the same
+    band-collision counts as bucket_mode="concat" (oracle-parity string
+    buckets): equal signature slices hash equally, and a cross-slice
+    64-bit collision is a 2^-64 event that could only ADD a pair."""
+    sigs = dd.minhash_signatures(corpus, "doc_id", "text", num_perm=32)
+    sigs = sigs.cache()
+    try:
+        out = {}
+        for mode in ("hash", "concat"):
+            pairs, dropped = dd.lsh_candidate_pairs(
+                sigs, "doc_id", num_bands=8, rows_per_band=4, bucket_mode=mode
+            )
+            pdf = pairs.toPandas()
+            assert dropped.count() == 0
+            out[mode] = {
+                (a, b): n
+                for a, b, n in zip(pdf["id_a"], pdf["id_b"], pdf["n_bands"])
+            }
+        assert out["hash"] == out["concat"]
+        assert out["hash"]  # non-trivial: the planted dups collide
+    finally:
+        sigs.unpersist()
+
+
 def test_gram_df_cap_drops_stopword_grams(spark):
     # every doc shares the same 3-gram; cap=1 removes it from candidate
     # generation, so no pairs survive

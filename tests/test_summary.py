@@ -195,3 +195,22 @@ def test_quantile_columns_subset(spark, small_df):
     plan = s.df._jdf.queryExecution().analyzed().toString()
     assert plan.count("percentile_approx") == 1
     s.unpersist()
+
+
+def test_occ_value_modes_agree(documents):
+    """occ_value_mode="hash" (64-bit value fingerprints in the
+    occurrence shuffle, the pipeline scale default) must yield the same
+    summary values as "exact" — counts per fingerprint equal counts per
+    value up to 2^-64 collisions — and under distinct_mode="exact" the
+    num_unique_values column must be IDENTICAL by construction, because
+    exact-distinct columns are always counted over exact values
+    (_occ_distinct_side; ADVICE round 4)."""
+    kw = dict(columns=["lang", "doc_id", "n_chars"], partition_key="source")
+    for dmode in ("approx", "exact"):
+        a = summarize(documents, distinct_mode=dmode, occ_value_mode="hash", **kw)
+        b = summarize(documents, distinct_mode=dmode, occ_value_mode="exact", **kw)
+        pa = a.value().sort_values(["source", "column"]).reset_index(drop=True)
+        pb = b.value().sort_values(["source", "column"]).reset_index(drop=True)
+        assert (pa["occurrence_ratio"].fillna(-1) == pb["occurrence_ratio"].fillna(-1)).all(), dmode
+        assert (pa["num_unique_values"].fillna(-1) == pb["num_unique_values"].fillna(-1)).all(), dmode
+        a.unpersist(); b.unpersist()

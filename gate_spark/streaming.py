@@ -181,6 +181,8 @@ INCREMENTAL_DRIFT_OUTPUT = T.StructType(
         T.StructField("stddev", T.DoubleType()),
         T.StructField("psi", T.DoubleType()),
         T.StructField("drifted", T.BooleanType()),
+        T.StructField("occurrence_ratio", T.DoubleType()),
+        T.StructField("occ_rows", T.LongType()),
     ]
 )
 
@@ -190,8 +192,36 @@ _DRIFT_STATE = T.StructType(
         T.StructField("sum", T.DoubleType()),
         T.StructField("sumsq", T.DoubleType()),
         T.StructField("hist", T.ArrayType(T.LongType())),
+        # count-min rows for the streaming occurrence_ratio, flattened
+        # depth x width (empty when occ_col is None) — the same
+        # mergeable-conditional-sum sketch as the windowed path, carried
+        # in the state store so it survives query restarts
+        T.StructField("cms", T.ArrayType(T.LongType())),
+        T.StructField("occ_rows", T.LongType()),
     ]
 )
+
+
+def _cms_buckets(values, depth: int, width: int):
+    """Deterministic vectorized bucket ids for the stateful CMS: a
+    fixed-key 64-bit hash of the value string (pd.util.hash_pandas_object
+    — stable across processes and restarts, which the checkpoint
+    contract requires), then one splitmix64 mix per depth row. Returns
+    (depth, len(values)) int array of buckets in [0, width)."""
+    import numpy as np
+    import pandas as pd
+
+    base = pd.util.hash_pandas_object(
+        pd.Series(values).astype(str), index=False
+    ).to_numpy(dtype=np.uint64)
+    out = np.empty((depth, len(base)), dtype=np.int64)
+    for j in range(depth):
+        x = base + np.uint64(0x9E3779B97F4A7C15) * np.uint64(j + 1)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        out[j] = (x % np.uint64(width)).astype(np.int64)
+    return out
 
 
 def incremental_drift(
@@ -202,6 +232,9 @@ def incremental_drift(
     inner_edges: list[float],
     psi_threshold: float = 0.2,
     min_history: int = 1000,
+    occ_col: str | None = None,
+    occ_width: int = 128,
+    occ_depth: int = 2,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator (``applyInPandasWithState``):
     per-partition drift verdicts where each micro-batch is scored
@@ -220,6 +253,18 @@ def incremental_drift(
     total/mean/stddev, and PSI of the batch vs history (null until
     ``min_history`` rows of history exist). Arrow-batched pandas on the
     executor — no per-row Python.
+
+    ``occ_col`` adds a RUNNING streaming occurrence_ratio estimate for
+    that (categorical) column via the same count-min heavy-hitters
+    formulation as the windowed path: ``occ_depth x occ_width`` bucket
+    counters ride the state store (flattened in ``_DRIFT_STATE.cms``),
+    merged across micro-batches and restored across restarts exactly
+    like the histogram. Same error contract, pinned in tests: the
+    estimate never UNDERshoots the true running max-frequency ratio and
+    overshoots by at most the collision mass sharing the heaviest
+    bucket (expected <= occ_rows/occ_width per hash row, concentrated
+    by the min over depth rows). ``occurrence_ratio``/``occ_rows`` are
+    null/0 when ``occ_col`` is None.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -232,12 +277,15 @@ def incremental_drift(
         import numpy as np
         import pandas as pd
 
+        cms_size = occ_depth * occ_width if occ_col else 0
         if state.exists:
-            count, total, totsq, hist = state.get
+            count, total, totsq, hist, cms_flat, occ_rows = state.get
             hist = np.asarray(hist, dtype=np.int64)
+            cms = np.asarray(cms_flat, dtype=np.int64).reshape(occ_depth, occ_width) if cms_size else None
         else:
-            count, total, totsq = 0, 0.0, 0.0
+            count, total, totsq, occ_rows = 0, 0.0, 0.0, 0
             hist = np.zeros(nbins, dtype=np.int64)
+            cms = np.zeros((occ_depth, occ_width), dtype=np.int64) if cms_size else None
 
         b_n, b_sum, b_sumsq = 0, 0.0, 0.0
         b_hist = np.zeros(nbins, dtype=np.int64)
@@ -251,6 +299,13 @@ def incremental_drift(
             b_hist += np.bincount(
                 np.searchsorted(edges, v, side="right"), minlength=nbins
             )
+            if cms is not None:
+                occ_vals = pdf[occ_col].dropna()
+                if len(occ_vals):
+                    buckets = _cms_buckets(occ_vals, occ_depth, occ_width)
+                    for j in range(occ_depth):
+                        cms[j] += np.bincount(buckets[j], minlength=occ_width)
+                    occ_rows += len(occ_vals)
 
         psi = drifted = None
         if state.exists and count >= min_history and b_n > 0:
@@ -263,7 +318,21 @@ def incremental_drift(
         total += b_sum
         totsq += b_sumsq
         hist = hist + b_hist
-        state.update((int(count), float(total), float(totsq), [int(x) for x in hist]))
+        state.update(
+            (
+                int(count),
+                float(total),
+                float(totsq),
+                [int(x) for x in hist],
+                [int(x) for x in (cms.ravel() if cms is not None else [])],
+                int(occ_rows),
+            )
+        )
+        occ_est = (
+            float(cms.max(axis=1).min()) / occ_rows
+            if cms is not None and occ_rows
+            else None
+        )
 
         mean = total / count if count else None
         stddev = (
@@ -281,6 +350,8 @@ def incremental_drift(
                     "stddev": stddev,
                     "psi": psi,
                     "drifted": drifted,
+                    "occurrence_ratio": occ_est,
+                    "occ_rows": int(occ_rows),
                 }
             ]
         )

@@ -93,6 +93,42 @@ def test_ngram_gram_modes_agree(corpus):
     assert key(exact) == key(hashed)
 
 
+def test_shingle_hash_udf_matches_expr_shingles(spark, corpus):
+    """The Arrow-batched shingle hasher (scale path) must produce the
+    same per-document distinct-shingle SET SIZE as the expression path
+    on real text and whitespace edge cases — same split regex, same
+    n-gram windows, so the hashed set is a bijection of the string
+    set."""
+    edge = spark.createDataFrame(
+        [
+            (200, ""),
+            (201, None),
+            (202, "one two"),  # fewer than n words
+            (203, "  leading and trailing  "),
+            (204, "tabs\tand\nnewlines  between   words here"),
+            (205, "a a a a a a"),  # degenerate repeats collapse
+        ],
+        ["doc_id", "text"],
+    )
+    df = corpus.unionByName(edge)
+    expr_sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(dd.word_shingles(F.col("text"), 3)).alias("n")
+        ).collect()
+    }
+    arrow_sizes = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(dd.shingle_hash_udf(3)(F.col("text"))).alias("n")
+        ).collect()
+    }
+    # null text: expr gives null/-1 (size of null array), arrow gives
+    # 0 — all mean "no shingles"; normalize
+    norm = lambda d: {k: max(v or 0, 0) for k, v in d.items()}
+    assert norm(arrow_sizes) == norm(expr_sizes)
+
+
 def test_lsh_bucket_modes_agree(corpus):
     """bucket_mode="hash" (xxhash64 long bucket keys, the scale
     default) must generate the same candidate pairs with the same

@@ -425,11 +425,18 @@ def ngram_jaccard_pairs(
     stopword gram present in millions of docs costs one groupBy row,
     not 10^12 join rows.
     """
-    grams = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
-    )
     if gram_mode == "hash":
-        grams = grams.select(id_col, F.xxhash64("_g").alias("_g"))
+        # Arrow-batched distinct gram hashes: same 5x-over-HOF win as
+        # the MinHash signature stage (BENCH.md round 5) — the
+        # transform/slice/concat_ws chain is interpreted per element.
+        grams = df.select(
+            F.col(id_col),
+            F.explode(shingle_hash_udf(n)(F.col(text_col))).alias("_g"),
+        )
+    else:
+        grams = df.select(
+            F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+        )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     gram_df = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
     rare = grams.join(gram_df.where(F.col("_df") <= max_gram_df), "_g")

@@ -284,6 +284,22 @@ def paired_protocol(pairs_n: int) -> None:
     for i in range(pairs_n):
         order = (small, big) if i % 2 == 0 else (big, small)
         rec: dict = {}
+        # tag the pair with the host's CURRENT aggregate memory
+        # bandwidth + its 8->32-process scaling ratio (hw_calibrate):
+        # a pair measured in a noisy-neighbor epoch (low bw, low ratio)
+        # is reported as such, so the efficiency distribution can be
+        # conditioned on host state instead of silently mixing epochs
+        hw: dict = {}
+        try:
+            cal = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "hw_calibrate.py")],
+                capture_output=True, text=True, timeout=600,
+            )
+            hw = json.loads(
+                [l for l in cal.stdout.splitlines() if l.startswith("{")][-1]
+            )
+        except Exception:
+            pass
         for cores in order:
             out = subprocess.run(
                 [sys.executable, __file__, "--trial-stages", str(cores)],
@@ -308,6 +324,8 @@ def paired_protocol(pairs_n: int) -> None:
                 f"t{big}_sec": rec[big]["sec"],
                 "efficiency": round(eff, 3),
                 "stage_efficiency": stage_eff,
+                "hw_bw_GBps_32": hw.get("bw_GBps_32"),
+                "hw_bw_ratio": hw.get("bw_GBps_ratio_32_over_8"),
             }
         )
         print(json.dumps(pair_rows[-1]), flush=True)

@@ -41,6 +41,75 @@ def main(path: str) -> None:
     for k, v in sorted(d["stage_efficiency_spread"].items()):
         print(f"| {k} | {v['median']} | {v['min']} | {v['max']} |")
 
+    if tags:
+        conditioned(d)
+
+
+def conditioned(d: dict) -> None:
+    """Condition the efficiency distribution on host state.
+
+    Each pair is tagged with the host's concurrent memory-bandwidth
+    scaling ratio (aggregate bandwidth at 32 vs 8 processes,
+    tools/hw_calibrate.py, run adjacent to the pair). A
+    bandwidth-bound job cannot scale better than the box's own
+    bandwidth does, so a pair measured while the host delivers only
+    1.3x bandwidth for 4x processes carries a ~0.33 hardware ceiling
+    that is not an engine property. Rather than normalizing (which
+    can exceed 1 and hides noise), report the split: pairs from
+    epochs where the host itself could scale (ratio >= threshold)
+    vs pairs where it could not.
+    """
+    tagged = [p for p in d["pairs"] if p.get("hw_bw_ratio") is not None]
+    if not tagged:
+        return
+    thresh = 3.2  # host delivers >=80% of ideal 4x bandwidth scaling
+    quiet = [p for p in tagged if p["hw_bw_ratio"] >= thresh]
+    noisy = [p for p in tagged if p["hw_bw_ratio"] < thresh]
+    n = len(tagged)
+    xs = [p["hw_bw_ratio"] for p in tagged]
+    ys = [p["efficiency"] for p in tagged]
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    r = sxy / (sxx * syy) ** 0.5 if sxx > 0 and syy > 0 else float("nan")
+
+    def med(ps):
+        v = sorted(p["efficiency"] for p in ps)
+        m = len(v)
+        return round(v[m // 2] if m % 2 else (v[m // 2 - 1] + v[m // 2]) / 2, 3)
+
+    print("\n### Efficiency conditioned on host state\n")
+    print(
+        f"corr(hw 4x-bandwidth ratio, measured efficiency) = **{r:.2f}** "
+        f"across {n} pairs.\n"
+    )
+    print(f"| host epoch | pairs | efficiency median | range |")
+    print("|---|---|---|---|")
+    for label, ps in (
+        (f"quiet (hw ratio >= {thresh})", quiet),
+        (f"contended (hw ratio < {thresh})", noisy),
+    ):
+        if ps:
+            es = [p["efficiency"] for p in ps]
+            print(
+                f"| {label} | {len(ps)} | **{med(ps)}** "
+                f"| [{min(es)}, {max(es)}] |"
+            )
+        else:
+            print(f"| {label} | 0 | — | — |")
+    print(
+        "\nEach pair's hardware ceiling for bandwidth-bound work is"
+        " hw_ratio/4; per-pair measured efficiency vs that ceiling:\n"
+    )
+    print("| pair | hw ratio | bw ceiling (ratio/4) | measured efficiency |")
+    print("|---|---|---|---|")
+    for p in tagged:
+        print(
+            f"| {p['pair']} | {p['hw_bw_ratio']} |"
+            f" {round(p['hw_bw_ratio'] / 4, 3)} | {p['efficiency']} |"
+        )
+
 
 if __name__ == "__main__":
     main(sys.argv[1])

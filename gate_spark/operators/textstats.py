@@ -3,13 +3,25 @@
 Language-ID (stopword/char-class heuristic), quality scoring,
 token counting (whitespace + a BPE-ish regex), and document
 fingerprinting (k-gram min-hash, a winnowing-style content stamp).
-Everything is a Catalyst expression — split/transform/aggregate run in
-whole-stage codegen, so per-document cost is a few string scans with
-no Python round-trip.
+
+Formulations here are chosen by measurement, not by rule (A/B at
+200-word docs, ``.scratch/textstats_ab2.py``, values asserted equal):
+word-length sums ride ``length(regexp_replace(text, '\\s+', ''))``
+(1.55x over the HOF ``aggregate`` it replaced — CodegenFallback,
+one boxed lambda per element); stopword hits deliberately KEEP the
+``filter``+``isin`` HOF — Catalyst compiles the 40-literal ``isin``
+to an InSet hash probe, which measured 1.47x FASTER than a
+whitespace-boundary alternation regex (2.15 vs 3.16 s), so the
+"HOFs are the slow path" heuristic loses to the regex engine's
+backtracking constant here. Fingerprinting keeps the expression form
+for the SQL-reproducible oracle modes and adds an Arrow-batched
+scale mode (``hash_mode="arrow"``, 1.7x).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +47,16 @@ def _words(text: Column) -> Column:
     return F.split(text, WORD_SPLIT_RE)
 
 
+def _stopword_hits(words: Column, tokens: list[str]) -> Column:
+    """Count of whitespace tokens equal to one of ``tokens``. Kept as
+    a ``filter``+``isin`` HOF on purpose: ``isin`` over this many
+    literals compiles to an InSet hash probe, measured 1.47x faster
+    than the equivalent whitespace-boundary alternation regex (module
+    docstring). NB ``filter`` lambdas must be unary — a second
+    (default) param would bind Spark's element-index argument."""
+    return F.size(F.filter(words, lambda w: w.isin(tokens)))
+
+
 def text_statistics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features:
     (id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
@@ -45,18 +67,17 @@ def text_statistics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     words = _words(text)
     n_chars = F.length(text).cast("double")
     n_words = F.size(words).cast("double")
+    # sum(length(w) for w in split(text,'\s+')) == length(text minus
+    # all whitespace): empty edge tokens contribute 0 either way — the
+    # codegen'd form of the HOF aggregate it replaces.
     avg_wl = (
-        F.aggregate(
-            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
-        )
+        F.length(F.regexp_replace(text, WORD_SPLIT_RE, "")).cast("double")
         / F.greatest(n_words, F.lit(1.0))
     )
     n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("double")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    n_stop = F.size(
-        F.filter(words, lambda w: F.lower(w).isin(all_stop))
-    ).cast("double")
+    n_stop = _stopword_hits(_words(F.lower(text)), all_stop).cast("double")
     stop_ratio = n_stop / F.greatest(n_words, F.lit(1.0))
     score = (
         F.when((n_words >= 10) & (n_words <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -86,12 +107,11 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     words = _words(F.lower(text))
     cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")).cast("double")
     cjk_ratio = cjk / F.greatest(F.length(text).cast("double"), F.lit(1.0))
-    def _stopword_hits(sw: list[str]):
-        # NB: F.filter lambdas must be unary — a second (default) param
-        # would be bound to the element-index argument by Spark.
-        return F.size(F.filter(words, lambda w: w.isin(sw))).cast("int")
 
-    hits = {lang: _stopword_hits(sw) for lang, sw in STOPWORDS.items()}
+    hits = {
+        lang: _stopword_hits(words, sw).cast("int")
+        for lang, sw in STOPWORDS.items()
+    }
     best = F.lit("und")
     best_n = F.lit(0)
     for lang in sorted(STOPWORDS):  # alphabetical; strict > keeps first on ties
@@ -123,11 +143,61 @@ def fingerprint(
 ) -> DataFrame:
     """(id, fingerprint) — min hash over character k-grams (the
     winnowing/min-sampling content stamp: stable under small edits,
-    equal for equal content)."""
+    equal for equal content).
+
+    ``hash_mode="xxhash"``/``"md5"`` build the grams with Catalyst
+    ``transform`` lambdas — interpreted per gram (CodegenFallback),
+    but SQL-reproducible for the DuckDB oracle. ``hash_mode="arrow"``
+    is the scale path: one Arrow-batched pandas UDF hashing each
+    document's distinct grams in a single vectorized pass (the
+    MinHash-signature treatment, BENCH.md round 5). The min-sampling
+    properties only need *a* deterministic 64-bit hash family, so the
+    family swap is semantics-free; arrow-mode values differ from
+    xxhash-mode values but are deterministic across processes and
+    restarts."""
     text = F.col(text_col)
+    if hash_mode == "arrow":
+        return df.select(
+            F.col(id_col), _gram_min_hash_udf(gram_chars)(text).alias("fingerprint")
+        )
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.length(text) - gram_chars, F.lit(0))),
         lambda i: text.substr(i + 1, F.lit(gram_chars)),
     )
     hashes = F.transform(grams, lambda g: _hash64(g, 7, hash_mode))
     return df.select(F.col(id_col), F.array_min(hashes).alias("fingerprint"))
+
+
+def _gram_min_hash_udf(g: int):
+    """Arrow-batched char-k-gram min-hash: ``long`` per document.
+    Gram extraction matches the expression path exactly (``substr(i+1,
+    g)`` for i in 0..max(len-g,0) — a short or empty document yields
+    one gram, the document itself); one fixed-key hash pass over the
+    batch's flattened distinct-gram set, offset-split back to rows,
+    min per row. No gram strings ever leave the Python worker."""
+
+    @F.pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        flat: list = []
+        counts: list = []
+        for t in texts:
+            if t is None:
+                counts.append(0)
+                continue
+            grams = {t[i : i + g] for i in range(max(len(t) - g, 0) + 1)}
+            flat.extend(grams)
+            counts.append(len(grams))
+        if flat:
+            h = (
+                pd.util.hash_pandas_object(pd.Series(flat), index=False)
+                .astype("int64")
+                .to_numpy()
+            )
+        else:
+            h = np.empty(0, dtype=np.int64)
+        parts = np.split(h, np.cumsum(counts)[:-1]) if counts else []
+        return pd.Series(
+            [int(p.min()) if len(p) else None for p in parts], dtype="object"
+        )
+
+    return _fp

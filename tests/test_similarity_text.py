@@ -177,3 +177,69 @@ def test_cosine_zero_norm_null_both_impls(spark):
     hof = df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).collect()
     arrow = df.select(cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")).collect()
     assert [r["c"] for r in hof] == [r["c"] for r in arrow] == [None, 1.0]
+
+
+def test_word_length_sum_rewrite_matches_hof(spark):
+    """Differential pin for the round-5 avg-word-len rewrite: the
+    whitespace-stripped length (codegen) must equal the HOF aggregate
+    sum of split-token lengths it replaced, on adversarial
+    tokenization cases (attached punctuation, leading/trailing/multi
+    whitespace, empty string, hyphenated tokens); and the shipped
+    stopword HOF must match a Python reference count."""
+    import re
+
+    from gate_spark.operators.textstats import STOPWORDS, WORD_SPLIT_RE, _stopword_hits
+
+    rows = [
+        (1, "theory thesis the and androids"),      # prefix traps
+        (2, "the, the. the the"),                   # attached punct + adjacent
+        (3, "  the   and  "),                       # edge/multi whitespace
+        (4, "THE AND Is oF"),                       # case
+        (5, ""),                                    # empty
+        (6, "of-the-record of the record"),         # hyphenated non-token
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    words = F.split(F.lower(F.col("text")), WORD_SPLIT_RE)
+    out = df.select(
+        "doc_id",
+        _stopword_hits(words, all_stop).alias("stop_hits"),
+        F.length(F.regexp_replace(F.col("text"), WORD_SPLIT_RE, "")).alias("sum_len_re"),
+        F.aggregate(
+            F.split(F.col("text"), WORD_SPLIT_RE),
+            F.lit(0),
+            lambda acc, w: acc + F.length(w),
+        ).alias("sum_len_hof"),
+    ).collect()
+    texts = dict(rows)
+    for r in out:
+        assert r["sum_len_re"] == r["sum_len_hof"], r
+        expected = sum(
+            w in all_stop for w in re.split(r"\s+", texts[r["doc_id"]].lower())
+        )
+        assert r["stop_hits"] == expected, r
+
+
+def test_fingerprint_arrow_mode(spark):
+    """Arrow scale path: equal content -> equal stamp, distinct content
+    -> distinct stamp, short/None docs handled, and values are
+    deterministic across two separate executions."""
+    df = spark.createDataFrame(
+        [(1, "a" * 50), (2, "a" * 50), (3, "b" * 50), (4, "xy"), (5, None)],
+        ["doc_id", "text"],
+    )
+    runs = []
+    for _ in range(2):
+        runs.append({
+            r["doc_id"]: r["fingerprint"]
+            for r in ts.fingerprint(
+                df, "doc_id", "text", hash_mode="arrow"
+            ).collect()
+        })
+    out = runs[0]
+    assert out == runs[1]                       # deterministic across runs
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert isinstance(out[4], int)  # short doc: one gram (the doc itself)
+    assert out[5] is None           # null text -> null fingerprint
+    assert isinstance(out[2], int)

@@ -98,6 +98,46 @@ def conditioned(d: dict) -> None:
             )
         else:
             print(f"| {label} | 0 | — | — |")
+    small, big = d["pair"]
+    stealed = [
+        p for p in d["pairs"]
+        if p.get(f"steal_{small}") is not None and p.get(f"steal_{big}") is not None
+    ]
+    if stealed:
+        print(
+            "\nPer-trial hypervisor steal fraction (/proc/stat over the"
+            " timed window): a pair is *clean* when both sides ran with"
+            " <3% steal, *stable* when the two sides saw steal within"
+            " 3 points of each other (noise cancels in the ratio even"
+            " if high):\n"
+        )
+        print(f"| pair | steal t{small} | steal t{big} | class | efficiency |")
+        print("|---|---|---|---|---|")
+        clean, stable = [], []
+        for p in stealed:
+            ss, sb = p[f"steal_{small}"], p[f"steal_{big}"]
+            cls = []
+            if max(ss, sb) < 0.03:
+                cls.append("clean")
+                clean.append(p)
+            if abs(ss - sb) < 0.03:
+                cls.append("stable")
+                stable.append(p)
+            print(
+                f"| {p['pair']} | {ss:.1%} | {sb:.1%} |"
+                f" {','.join(cls) or 'shifted'} | {p['efficiency']} |"
+            )
+        for label, ps in (("clean", clean), ("epoch-stable", stable)):
+            if ps:
+                es = sorted(p["efficiency"] for p in ps)
+                m = len(es)
+                med = es[m // 2] if m % 2 else (es[m // 2 - 1] + es[m // 2]) / 2
+                print(
+                    f"\n{label} pairs ({m}): efficiency median **{round(med, 3)}**,"
+                    f" range [{es[0]}, {es[-1]}]"
+                )
+        print()
+
     print(
         "\nEach pair's hardware ceiling for bandwidth-bound work is"
         " hw_ratio/4; per-pair measured efficiency vs that ceiling:\n"

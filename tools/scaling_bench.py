@@ -190,14 +190,39 @@ def single_trial(cores: int, stages: bool = False) -> None:
     df = _input_df(spark)
     validation_job(spark, df)  # warm-up
     st: dict | None = {} if stages else None
+    cpu0 = _proc_stat()
     t0 = time.time()
     n = validation_job(spark, df, stage_times=st)
     dt = time.time() - t0
     rec = {"cores": cores, "rows": n, "sec": round(dt, 2)}
+    steal = _steal_frac(cpu0, _proc_stat())
+    if steal is not None:
+        # fraction of the timed window's CPU jiffies the hypervisor
+        # stole for neighbor VMs (/proc/stat field 8) — the kernel's
+        # own measurement of external contention over EXACTLY this
+        # trial's span, for epoch-conditioning the paired ratios
+        rec["steal_frac"] = steal
     if stages:
         rec["stages"] = st
     print(json.dumps(rec))
     spark.stop()
+
+
+def _proc_stat() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _steal_frac(a: list[int] | None, b: list[int] | None) -> float | None:
+    if not a or not b or len(b) < 8:
+        return None
+    total = sum(b) - sum(a)
+    if total <= 0:
+        return None
+    return round((b[7] - a[7]) / total, 4)
 
 
 def stage_breakdown(trials: int) -> None:
@@ -326,6 +351,8 @@ def paired_protocol(pairs_n: int) -> None:
                 "stage_efficiency": stage_eff,
                 "hw_bw_GBps_32": hw.get("bw_GBps_32"),
                 "hw_bw_ratio": hw.get("bw_GBps_ratio_32_over_8"),
+                f"steal_{small}": rec[small].get("steal_frac"),
+                f"steal_{big}": rec[big].get("steal_frac"),
             }
         )
         print(json.dumps(pair_rows[-1]), flush=True)

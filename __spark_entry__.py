@@ -262,21 +262,33 @@ def q_mode_parity_lsh(spark, sf_dir):
     under bucket_mode="hash" (xxhash64 long bucket keys) vs "concat"
     (oracle strings) over the same signatures. Expected EMPTY — a
     non-empty row names the colliding pair and which mode produced it."""
+    from gate_spark.localframe import local_df
+
     sigs = dd.minhash_signatures(
         _docs_dup_view(spark, sf_dir), "doc_id", "text", 16, 3, "xxhash"
     ).persist()
-    out = {}
-    for mode in ("hash", "concat"):
-        pairs, _ = dd.lsh_candidate_pairs(
-            sigs, "doc_id", num_bands=4, rows_per_band=4, bucket_mode=mode
+    try:
+        out = {}
+        for mode in ("hash", "concat"):
+            pairs, _ = dd.lsh_candidate_pairs(
+                sigs, "doc_id", num_bands=4, rows_per_band=4, bucket_mode=mode
+            )
+            out[mode] = pairs.select("id_a", "id_b", "n_bands")
+        diff = (
+            out["hash"].exceptAll(out["concat"]).withColumn("only_in", F.lit("hash"))
+            .unionByName(
+                out["concat"].exceptAll(out["hash"]).withColumn(
+                    "only_in", F.lit("concat")
+                )
+            )
         )
-        out[mode] = pairs.select("id_a", "id_b", "n_bands")
-    return (
-        out["hash"].exceptAll(out["concat"]).withColumn("only_in", F.lit("hash"))
-        .unionByName(
-            out["concat"].exceptAll(out["hash"]).withColumn("only_in", F.lit("concat"))
-        )
-    )
+        # evaluate the (expected-empty) difference eagerly so the
+        # persisted signature frame can be released here instead of
+        # leaking past the query's return (round-5 hygiene note)
+        rows = diff.collect()
+        return local_df(spark, [tuple(r) for r in rows], diff.schema)
+    finally:
+        sigs.unpersist()
 
 
 def q_mode_parity_occ(spark, sf_dir):
@@ -284,19 +296,27 @@ def q_mode_parity_occ(spark, sf_dir):
     scale default): summary rows whose occurrence_ratio or
     num_unique_values differ between fingerprint and exact value keys.
     Expected EMPTY."""
+    from gate_spark.localframe import local_df
+
     docs = _t(spark, sf_dir, "documents")
     kw = dict(columns=["lang", "doc_id", "n_chars"], partition_key="source",
               distinct_mode="exact")
-    h = summarize(docs, occ_value_mode="hash", **kw).df.select(
-        "source", "column", "occurrence_ratio", "num_unique_values"
-    )
-    e = summarize(docs, occ_value_mode="exact", **kw).df.select(
-        "source", "column", "occurrence_ratio", "num_unique_values"
-    )
-    return (
-        h.exceptAll(e).withColumn("only_in", F.lit("hash"))
-        .unionByName(e.exceptAll(h).withColumn("only_in", F.lit("exact")))
-    )
+    sh = summarize(docs, occ_value_mode="hash", **kw)
+    se = summarize(docs, occ_value_mode="exact", **kw)
+    try:
+        h = sh.df.select("source", "column", "occurrence_ratio", "num_unique_values")
+        e = se.df.select("source", "column", "occurrence_ratio", "num_unique_values")
+        diff = (
+            h.exceptAll(e).withColumn("only_in", F.lit("hash"))
+            .unionByName(e.exceptAll(h).withColumn("only_in", F.lit("exact")))
+        )
+        # eager evaluation for the same persisted-frame hygiene as
+        # q_mode_parity_lsh (both summaries are persisted by default)
+        rows = diff.collect()
+        return local_df(spark, [tuple(r) for r in rows], diff.schema)
+    finally:
+        sh.unpersist()
+        se.unpersist()
 
 
 def q_dedup_exact(spark, sf_dir):

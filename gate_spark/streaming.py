@@ -259,7 +259,19 @@ def incremental_drift(
     formulation as the windowed path: ``occ_depth x occ_width`` bucket
     counters ride the state store (flattened in ``_DRIFT_STATE.cms``),
     merged across micro-batches and restored across restarts exactly
-    like the histogram. Same error contract, pinned in tests: the
+    like the histogram.
+
+    CHECKPOINT-FORMAT NOTE: the state row schema (``_DRIFT_STATE``)
+    gained the ``cms``/``occ_rows`` fields when ``occ_col`` support was
+    added. The state store decodes rows with the DECLARED schema, so a
+    restart against a checkpoint written by the older 4-field schema is
+    a binary format break — Spark will fail (or misread) at
+    ``state.get``; there is no in-band version tag to detect it.
+    Restart such queries with a fresh ``checkpointLocation`` (drain the
+    old query with trigger(availableNow=True) first). Any future state
+    field addition carries the same contract.
+
+    Same error contract, pinned in tests: the
     estimate never UNDERshoots the true running max-frequency ratio and
     overshoots by at most the collision mass sharing the heaviest
     bucket (expected <= occ_rows/occ_width per hash row, concentrated

@@ -38,11 +38,17 @@ def local_df(
     parallelize path only for empty input (zero partitions — no
     Python workers are ever launched for an empty scan).
     """
+    from pyspark.sql.types import StructType
+
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
-    # resolve a DDL string to a StructType without private parsers
-    struct = spark.createDataFrame([], schema).schema
+    # resolve a DDL string to a StructType without private parsers;
+    # skip the resolver round trip when the caller already passed one
+    if isinstance(schema, StructType):
+        struct = schema
+    else:
+        struct = spark.createDataFrame([], schema).schema
     pdf = pd.DataFrame(rows, columns=struct.names, dtype=object)
     # object dtype end-to-end: preserves None (NULL) in int/bool
     # columns where pandas would otherwise coerce to NaN/float

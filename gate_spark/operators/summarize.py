@@ -764,19 +764,25 @@ def nearest_rank_quantiles_from_pairs(
     output column ``_p{q*100}`` per requested quantile. The window sort
     runs over *distinct* values per key (duplicates pre-counted with
     map-side combine), so a key with billions of rows but bounded value
-    cardinality sorts a small set."""
-    counts = pairs.groupBy(*keys, "value").agg(F.count(F.lit(1)).alias("_cnt"))
-    w = Window.partitionBy(*keys).orderBy("value")
-    wtot = Window.partitionBy(*keys)
-    cum = (
-        counts.withColumn("_cum", F.sum("_cnt").over(w))
-        .withColumn("_n", F.sum("_cnt").over(wtot))
+    cardinality sorts a small set. Generated SQL (plan-construction
+    note in _scalar_summary); target rank is 1-based with SQL round =
+    HALF_UP for positives, matching polars' round-half-away-from-zero."""
+    kq = [_qident(k) for k in keys]
+    kl = ", ".join(kq)
+    counts = pairs.groupBy(*keys, "value").agg(F.expr("count(1) AS _cnt"))
+    cum = counts.selectExpr(
+        *kq,
+        "value",
+        "_cnt",
+        f"sum(_cnt) OVER (PARTITION BY {kl} ORDER BY value) AS _cum",
+        f"sum(_cnt) OVER (PARTITION BY {kl}) AS _n",
     )
-    sel_exprs = []
-    for q in qs:
-        # 1-based target rank; F.round is HALF_UP for positives,
-        # matching polars' round-half-away-from-zero.
-        target = F.round(F.lit(q) * (F.col("_n") - 1), 0).cast("long") + 1
-        hit = (target >= F.col("_cum") - F.col("_cnt") + 1) & (target <= F.col("_cum"))
-        sel_exprs.append(F.max(F.when(hit, F.col("value"))).alias(f"_p{int(q * 100)}"))
+    sel_exprs = [
+        F.expr(
+            f"max(CASE WHEN CAST(round({q!r}D * (_n - 1), 0) AS BIGINT) + 1"
+            f" BETWEEN _cum - _cnt + 1 AND _cum THEN value END)"
+            f" AS _p{int(q * 100)}"
+        )
+        for q in qs
+    ]
     return cum.groupBy(*keys).agg(*sel_exprs)

@@ -480,19 +480,37 @@ def _scalar_summary(
         F.expr(f"explode(array({', '.join(structs)}))").alias("_s"),
     ).select(partition_key, "_s.*")
 
+    # Columns needing BOTH occurrence_ratio and nearest-rank quantiles
+    # share ONE value-keyed pass: the quantile machinery's windowed
+    # (partition, column, value, _cnt) frame is exactly the occ
+    # cascade's first level, so max/sum fold into the same final
+    # aggregation (one melt + one shuffle instead of two of each).
+    # Gated to distinct_mode != "exact": the shared melt keys by the
+    # DOUBLE value, and a distinct count over doubles is not "exact"
+    # for int values beyond 2^53 — the exact-label contract keeps its
+    # string-keyed cascade. occurrence_ratio itself is unchanged for
+    # any value in double's exact-integer range (int-class occ columns;
+    # the 2^53 caveat parallels the documented 2^-64 hash-mode trade).
+    shared = (
+        needs_quantile & needs_occ
+        if quantile_mode == "nearest" and distinct_mode != "exact"
+        else set()
+    )
+
     # ---- pass 2: occurrence_ratio (+ exact distinct) via melt ->
     # two-level aggregation (gate/summary.py:240-249; S8 mapping).
-    occ_cols = sorted(needs_occ | (needs_distinct if distinct_mode == "exact" else set()))
+    occ_alone = needs_occ - shared
+    occ_cols = sorted(occ_alone | (needs_distinct if distinct_mode == "exact" else set()))
     if occ_cols:
         side = _occ_distinct_side(
-            wdf, partition_key, needs_occ, needs_distinct,
+            wdf, partition_key, occ_alone, needs_distinct,
             distinct_mode, occ_value_mode,
         )
         long_df = long_df.join(side, [partition_key, "column"], "left")
         long_df = long_df.withColumn(
             "occurrence_ratio",
             F.when(
-                F.col("column").isin(sorted(needs_occ)), F.col("_occ")
+                F.col("column").isin(sorted(occ_alone)), F.col("_occ")
             ).otherwise(F.col("occurrence_ratio")),
         )
         if distinct_mode == "exact":
@@ -505,12 +523,30 @@ def _scalar_summary(
             )
         long_df = long_df.drop("_occ", "_ndv")
 
+    if shared:
+        pairs = _melt(wdf, partition_key, sorted(shared), "double")
+        qocc = nearest_rank_quantiles_from_pairs(
+            pairs, [partition_key, "column"], (0.5, 0.95), with_occ=True
+        )
+        long_df = long_df.join(qocc, [partition_key, "column"], "left")
+        long_df = (
+            long_df.withColumn("p50", F.coalesce(F.col("_p50"), F.col("p50")))
+            .withColumn("p95", F.coalesce(F.col("_p95"), F.col("p95")))
+            .withColumn(
+                "occurrence_ratio",
+                F.when(
+                    F.col("column").isin(sorted(shared)), F.col("_occ")
+                ).otherwise(F.col("occurrence_ratio")),
+            )
+            .drop("_p50", "_p95", "_occ")
+        )
+
     # ---- pass 3: exact nearest-rank quantiles (gate parity), or the
     # KLL mergeable sketch (unbounded continuous columns — "nearest"
     # assumes bounded value cardinality, percentile_approx has the
     # profiled serial digest merge; see gate_spark/kll.py).
     if quantile_mode in ("nearest", "sketch"):
-        num_cols = sorted(needs_quantile)
+        num_cols = sorted(needs_quantile - shared)
         if num_cols:
             if quantile_mode == "nearest":
                 qside = _nearest_rank_quantiles(wdf, partition_key, num_cols, (0.5, 0.95))
@@ -758,7 +794,8 @@ def _kll_quantiles(
 
 
 def nearest_rank_quantiles_from_pairs(
-    pairs: DataFrame, keys: list[str], qs: tuple[float, ...]
+    pairs: DataFrame, keys: list[str], qs: tuple[float, ...],
+    with_occ: bool = False,
 ) -> DataFrame:
     """Nearest-rank quantiles over a (keys..., value) pair table; one
     output column ``_p{q*100}`` per requested quantile. The window sort
@@ -785,4 +822,12 @@ def nearest_rank_quantiles_from_pairs(
         )
         for q in qs
     ]
+    if with_occ:
+        # occurrence_ratio rides the SAME windowed counts frame: the
+        # (keys, value, _cnt) rows are exactly what the occ cascade's
+        # first level produces, so max/sum fold in the same final
+        # aggregation — one value-keyed pass serves both statistics.
+        sel_exprs.append(
+            F.expr("CAST(max(_cnt) / sum(_cnt) AS DOUBLE) AS _occ")
+        )
     return cum.groupBy(*keys).agg(*sel_exprs)

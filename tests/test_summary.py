@@ -214,3 +214,26 @@ def test_occ_value_modes_agree(documents):
         assert (pa["occurrence_ratio"].fillna(-1) == pb["occurrence_ratio"].fillna(-1)).all(), dmode
         assert (pa["num_unique_values"].fillna(-1) == pb["num_unique_values"].fillna(-1)).all(), dmode
         a.unpersist(); b.unpersist()
+
+
+def test_shared_occ_quantile_pass_matches_split_paths(documents):
+    """Columns needing BOTH occurrence_ratio and nearest-rank quantiles
+    ride one shared value-keyed pass when distinct_mode != "exact"
+    (r6: the windowed quantile counts frame IS the occ cascade's first
+    level). Every statistic must equal the split-path formulation that
+    distinct_mode="exact" still uses — same fixture, cell-identical."""
+    kw = dict(
+        columns=["lang", "doc_id", "n_chars"],
+        partition_key="source",
+        quantile_mode="nearest",
+        extras=True,
+    )
+    a = summarize(documents, distinct_mode="approx", **kw)  # shared pass
+    b = summarize(documents, distinct_mode="exact", **kw)  # split paths
+    pa = a.value().sort_values(["source", "column"]).reset_index(drop=True)
+    pb = b.value().sort_values(["source", "column"]).reset_index(drop=True)
+    for c in ["occurrence_ratio", "p50", "p95", "coverage", "mean",
+              "count", "max", "min", "null_fraction", "stddev"]:
+        assert (pa[c].fillna(-1) == pb[c].fillna(-1)).all(), c
+    a.unpersist()
+    b.unpersist()

@@ -204,38 +204,44 @@ def validate_tokens(
       ``distribution`` / ``drift`` tables: their verdicts stand from
       the run that validated them.
     """
-    lo, hi = vocab
-    tokens = F.col(tokens_col)
-    tok_len = F.size(tokens)
+    from gate_spark.operators.summarize import _qident, _qlit
 
-    f_eq = ~F.coalesce(F.col(n_tok_col) == tok_len, F.lit(False))
+    lo, hi = int(vocab[0]), int(vocab[1])
+    tk = _qident(tokens_col)
+    nt = _qident(n_tok_col)
+    pk = _qident(partition_key)
+
     # array_min/array_max instead of F.exists: higher-order functions
     # are CodegenFallback (interpreted per element, boxed) — on a
     # token-array scan that is the whole bill. min/max bounds are
     # equivalent for element-null-free token arrays and stay inside
-    # whole-stage codegen.
-    tok_min = F.array_min(tokens)
-    tok_max = F.array_max(tokens)
-    f_vocab = F.coalesce(
-        (tok_min < F.lit(lo)) | (tok_max >= F.lit(hi)), F.lit(False)
+    # whole-stage codegen. The projection is generated SQL — one parser
+    # call per output column instead of ~6 py4j round trips per
+    # expression (see the plan-construction note in summarize.py).
+    f_eq = f"(NOT coalesce(({nt} = size({tk})), false))"
+    f_vocab = (
+        f"coalesce(((array_min({tk}) < {lo}) OR (array_max({tk}) >= {hi})), false)"
     )
     if domain is not None:
-        f_member = ~F.coalesce(F.col(partition_key).isin(list(domain)), F.lit(False))
+        in_list = ", ".join(
+            _qlit(d) if isinstance(d, str) else repr(d) for d in domain
+        )
+        f_member = f"(NOT coalesce({pk} IN ({in_list}), false))"
     else:
-        f_member = F.lit(False)
+        f_member = "false"
 
     # ONE scan: every array-derived value + flags + (conditional)
     # violation details; arrays never leave the scan stage.
-    slim = df.select(
-        F.col(partition_key).alias("_pk"),
-        F.col(doc_id_col).alias("_key"),
-        F.col(n_tok_col).cast("long").alias("n_tok"),
-        tok_len.cast("long").alias("tok_len"),
-        f_eq.alias("_f_eq"),
-        f_member.alias("_f_member"),
-        f_vocab.alias("_f_vocab"),
-        F.when(f_vocab, tok_min).alias("_vmin"),
-        F.when(f_vocab, tok_max).alias("_vmax"),
+    slim = df.selectExpr(
+        f"{pk} AS _pk",
+        f"{_qident(doc_id_col)} AS _key",
+        f"CAST({nt} AS BIGINT) AS n_tok",
+        f"CAST(size({tk}) AS BIGINT) AS tok_len",
+        f"{f_eq} AS _f_eq",
+        f"{f_member} AS _f_member",
+        f"{f_vocab} AS _f_vocab",
+        f"CASE WHEN {f_vocab} THEN array_min({tk}) END AS _vmin",
+        f"CASE WHEN {f_vocab} THEN array_max({tk}) END AS _vmax",
     )
     if truncate_lineage:
         # MEMORY_AND_DISK: at bench scale the slim frame can exceed the
@@ -359,40 +365,25 @@ def validate_tokens(
     flags = ["_f_unique", "_f_eq", "_f_member", "_f_vocab"]
 
     details = [
-        F.concat(F.lit("duplicate doc_id="), F.col("_key").cast("string")),
-        F.lit(f"violated: {n_tok_col} = size({tokens_col})"),
-        F.concat(F.lit(f"{partition_key} not in domain: "), F.col("_pk").cast("string")),
-        F.concat(
-            F.lit(f"token out of [{lo},{hi}): min="),
-            F.col("_vmin").cast("string"),
-            F.lit(" max="),
-            F.col("_vmax").cast("string"),
-        ),
+        "concat('duplicate doc_id=', CAST(_key AS STRING))",
+        _qlit(f"violated: {n_tok_col} = size({tokens_col})"),
+        f"concat({_qlit(f'{partition_key} not in domain: ')}, CAST(_pk AS STRING))",
+        f"concat({_qlit(f'token out of [{lo},{hi}): min=')},"
+        " CAST(_vmin AS STRING), ' max=', CAST(_vmax AS STRING))",
     ]
-    any_flag = F.col(flags[0])
-    for f in flags[1:]:
-        any_flag = any_flag | F.col(f)
+    structs = ", ".join(
+        f"CASE WHEN {f} THEN named_struct('constraint', {_qlit(n)},"
+        f" 'detail', {d}) END"
+        for n, f, d in zip(names, flags, details)
+    )
     violations = (
-        flagged.where(any_flag)
-        .select(
-            F.col("_pk").cast("string").alias("partition"),
-            F.col("_key").cast("string").alias("key"),
-            F.explode(
-                F.filter(
-                    F.array(
-                        *[
-                            F.when(
-                                F.col(f),
-                                F.struct(F.lit(n).alias("constraint"), d.alias("detail")),
-                            )
-                            for n, f, d in zip(names, flags, details)
-                        ]
-                    ),
-                    lambda s: s.isNotNull(),
-                )
-            ).alias("_w"),
+        flagged.where(F.expr(" OR ".join(flags)))
+        .selectExpr(
+            "CAST(_pk AS STRING) AS partition",
+            "CAST(_key AS STRING) AS key",
+            f"explode(filter(array({structs}), s -> s IS NOT NULL)) AS _w",
         )
-        .select("partition", F.col("_w.constraint").alias("constraint"), "key", "_w.detail")
+        .selectExpr("partition", "_w.constraint AS constraint", "key", "_w.detail AS detail")
     )
     # Violations are the ONE action over the full flagged frame; the
     # persisted result (bounded by the violating-row count — the same

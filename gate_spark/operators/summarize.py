@@ -333,6 +333,13 @@ def _scalar_summary(
         else:
             working.append(F.col(c))
     wdf = df.select(*working)
+    # NOT repartitioned on under-parallelized inputs (unlike the text
+    # operators): an interleaved A/B on a 6M-row single-row-group file
+    # showed no reliable win (guard-on min 14.07 s vs guard-off 13.65 s
+    # across 3 alternating trials) and a clear LOSS at 600 k rows
+    # (0.90 -> 1.21 s) — serializing the rows through a round-robin
+    # exchange costs as much as the single-task codegen'd aggregation
+    # saves. See session.ensure_scan_parallelism and OPTIMIZATION_r06.md.
 
     eff_type = {
         c: ("int" if column_types[c] in ("bool", "array") else column_types[c]) for c in cols

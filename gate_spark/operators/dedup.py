@@ -158,14 +158,11 @@ def _splitmix64(x: "np.ndarray") -> "np.ndarray":
     return x ^ (x >> np.uint64(31))
 
 
-def minhash_sig_udf(n: int, num_perm: int):
-    """Arrow-batched FULL MinHash signature per document:
-    ``array<long>`` of ``num_perm`` slot minima, computed end-to-end in
-    vectorized numpy — the scale path of :func:`minhash_signatures`.
-
-    Replaces the explode -> num_perm hash exprs -> groupBy(id).agg(min)
-    pipeline with zero shuffles: the signature is complete when the
-    scan stage emits it. Formulation (all per Arrow batch):
+def _minhash_sig_batch(
+    texts: list, n: int, num_perm: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized MinHash signatures for one batch of texts: returns
+    (valid mask, (n_valid x num_perm) int64 signature matrix).
 
     1. split each text on the Java-``\\s``-equivalent class and hash
        the batch's FLAT word list once (``hash_pandas_object`` — one
@@ -183,61 +180,92 @@ def minhash_sig_udf(n: int, num_perm: int):
     deterministic 64-bit hash family, not a particular one, so the
     family is semantics-free (same argument as shingle_hash_udf);
     values are deterministic across processes and restarts. Documents
-    with no shingles (null text, or fewer than n words) return NULL —
-    the caller filters them, mirroring how explode dropped them."""
+    with no shingles (null text, or fewer than n words) are invalid in
+    the mask — callers drop them, mirroring how explode dropped them."""
     import re as _re
 
-    @F.pandas_udf("array<long>")
-    def _sigs(texts: pd.Series) -> pd.Series:
-        pat = _re.compile(PY_WORD_SPLIT_RE)
-        flat: list = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for k, t in enumerate(texts):
-            if t is None:
-                counts[k] = 0
-                continue
-            ws = pat.split(t)
-            flat.extend(ws)
-            counts[k] = len(ws)
-        m = counts - (n - 1)  # shingles per doc (<=0 -> none)
-        valid = m > 0
-        nv = int(np.count_nonzero(valid))
-        out = np.empty((len(counts), num_perm), dtype=np.int64)
-        if nv:
-            wh = (
-                pd.util.hash_pandas_object(pd.Series(flat), index=False)
-                .to_numpy()
-                .astype(np.uint64)
-            )
-            word_starts = np.concatenate(
-                ([0], np.cumsum(np.maximum(counts, 0))[:-1])
-            )
-            mv = m[valid]
-            tot = int(mv.sum())
-            # first-word flat index of every shingle: doc start + local
-            # offset (concatenated arange trick — no Python loop)
-            ends = np.cumsum(mv)
-            first = (
-                np.repeat(word_starts[valid], mv)
-                + np.arange(tot, dtype=np.int64)
-                - np.repeat(ends - mv, mv)
-            )
-            sh = np.zeros(tot, dtype=np.uint64)
-            for j in range(n):  # order-dependent combine of n word hashes
-                sh = sh * np.uint64(0x100000001B3) + wh[first + j]
-            sh = _splitmix64(sh)
-            starts = np.concatenate(([0], ends[:-1]))
-            sig = np.empty((nv, num_perm), dtype=np.int64)
-            for p in range(num_perm):
-                x = _splitmix64(
-                    sh ^ np.uint64((p * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
-                ).view(np.int64)
-                sig[:, p] = np.minimum.reduceat(x, starts)
-            out[valid] = sig
-        res = [out[i].tolist() if valid[i] else None for i in range(len(counts))]
-        return pd.Series(res, dtype="object")
+    pat = _re.compile(PY_WORD_SPLIT_RE)
+    flat: list = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for k, t in enumerate(texts):
+        if t is None:
+            counts[k] = 0
+            continue
+        ws = pat.split(t)
+        flat.extend(ws)
+        counts[k] = len(ws)
+    m = counts - (n - 1)  # shingles per doc (<=0 -> none)
+    valid = m > 0
+    nv = int(np.count_nonzero(valid))
+    if not nv:
+        return valid, np.empty((0, num_perm), dtype=np.int64)
+    wh = (
+        pd.util.hash_pandas_object(pd.Series(flat), index=False)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    word_starts = np.concatenate(([0], np.cumsum(np.maximum(counts, 0))[:-1]))
+    mv = m[valid]
+    tot = int(mv.sum())
+    # first-word flat index of every shingle: doc start + local
+    # offset (concatenated arange trick — no Python loop)
+    ends = np.cumsum(mv)
+    first = (
+        np.repeat(word_starts[valid], mv)
+        + np.arange(tot, dtype=np.int64)
+        - np.repeat(ends - mv, mv)
+    )
+    sh = np.zeros(tot, dtype=np.uint64)
+    for j in range(n):  # order-dependent combine of n word hashes
+        sh = sh * np.uint64(0x100000001B3) + wh[first + j]
+    sh = _splitmix64(sh)
+    starts = np.concatenate(([0], ends[:-1]))
+    sig = np.empty((nv, num_perm), dtype=np.int64)
+    for p in range(num_perm):
+        x = _splitmix64(
+            sh ^ np.uint64((p * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        ).view(np.int64)
+        sig[:, p] = np.minimum.reduceat(x, starts)
+    return valid, sig
 
-    return _sigs
+
+def _minhash_signatures_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_perm: int
+) -> DataFrame:
+    """(id, sig) via ``mapInArrow`` over :func:`_minhash_sig_batch`:
+    the signature is complete when the scan stage emits it — zero
+    shuffles. mapInArrow rather than a pandas UDF because the output
+    ListArray is assembled directly from the signature matrix and a
+    stride-``num_perm`` offsets vector (no per-row Python lists, no
+    pandas object-Series round trip — measured 1.8x on the whole
+    stage)."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("sig", T.ArrayType(T.LongType()))]
+    )
+
+    def gen(batches):
+        for b in batches:
+            texts = b.column(text_col).to_pylist()
+            valid, sig = _minhash_sig_batch(texts, n, num_perm)
+            nv = len(sig)
+            if not nv:
+                continue
+            values = pa.array(sig.ravel(), type=pa.int64())
+            offsets = pa.array(np.arange(nv + 1, dtype=np.int32) * num_perm)
+            sig_arr = pa.ListArray.from_arrays(offsets, values)
+            ids = b.column(id_col).filter(pa.array(valid))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_arr],
+                schema=pa.schema(
+                    [pa.field(id_col, ids.type), pa.field("sig", pa.list_(pa.int64()))]
+                ),
+            )
+
+    return df.select(id_col, text_col).mapInArrow(gen, out_schema)
 
 
 def exact_duplicates(
@@ -279,12 +307,12 @@ def minhash_signatures(
 
     Base-hash modes:
     - ``hash_mode="xxhash"`` (scale default): the whole signature is
-      computed inside the scan stage by the Arrow-batched
-      :func:`minhash_sig_udf` — no shingle strings, no explode, no
-      groupBy shuffle (r6; previously the shingle hashes were exploded
-      and min-aggregated with ``num_perm`` JVM hash expressions, which
-      made the signature stage shuffle |id| x |shingle| rows and pay
-      32 xxhash64 calls per shingle row).
+      computed inside the scan stage by an Arrow ``mapInArrow`` batch
+      kernel (:func:`_minhash_sig_batch`) — no shingle strings, no
+      explode, no groupBy shuffle (r6; previously the shingle hashes
+      were exploded and min-aggregated with ``num_perm`` JVM hash
+      expressions, which made the signature stage shuffle
+      |id| x |shingle| rows and pay 32 xxhash64 calls per shingle row).
     - ``hash_mode="md5"`` (oracle parity): exact shingle strings via
       :func:`word_shingles` exploded and min-aggregated per permutation
       with the md5-derived 60-bit hash a DuckDB twin reproduces
@@ -306,15 +334,10 @@ def minhash_signatures(
             id_col, F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig")
         )
     # scale path: the FULL signature is computed inside one Arrow batch
-    # pass (minhash_sig_udf) — no explode, no num_perm JVM hash exprs,
-    # no groupBy shuffle; docs with no shingles return NULL and are
-    # filtered, exactly as explode used to drop them. Measured r6:
-    # signature stage 1.31 s -> ~0.35 s at sf0.1 (BENCH numbers in
-    # OPTIMIZATION_r06.md).
-    return df.select(
-        F.col(id_col),
-        minhash_sig_udf(shingle_size, num_perm)(F.col(text_col)).alias("sig"),
-    ).where(F.col("sig").isNotNull())
+    # pass — no explode, no num_perm JVM hash exprs, no groupBy
+    # shuffle; docs with no shingles are dropped, exactly as explode
+    # used to drop them (measurements in OPTIMIZATION_r06.md).
+    return _minhash_signatures_arrow(df, id_col, text_col, shingle_size, num_perm)
 
 
 def lsh_candidate_pairs(

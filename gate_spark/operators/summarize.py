@@ -734,15 +734,21 @@ def _occurrence_and_distinct(
 ) -> DataFrame:
     """max-frequency ratio + exact distinct per (partition, column).
 
-    Values are compared within a column only, so a string cast is a
-    faithful equality key for string/int/bool columns. The
-    (partition, column, value) aggregate is high-cardinality and
-    partial-aggregated, so heavy values combine map-side (skew-safe).
-    Null handling pinned by the reference fixture: denominator excludes
-    nulls (tests/test_summary.py:46-48 — 2/3 for [cat,dog,dog]).
+    Values are compared within a column only, so each column's NATIVE
+    value is its own equality key; the first-level aggregation is one
+    ``groupingSets((pk, col_i) for each column)`` pass (r6 — replaces
+    the string-melt cascade: grouping by native values instead of
+    string casts was a measured 21% on the cascade at 6 M rows and the
+    win grows with rows, since the per-row cast is gone; counts per
+    native value equal counts per string cast — the cast is injective
+    within a column — so every emitted statistic is identical). The
+    aggregate is high-cardinality and partial-aggregated, so heavy
+    values combine map-side (skew-safe). Null handling pinned by the
+    reference fixture: denominator excludes nulls
+    (tests/test_summary.py:46-48 — 2/3 for [cat,dog,dog]).
 
-    ``value_mode="hash"`` groups by ``xxhash64(value)`` instead of the
-    value string. On a near-unique column (e.g. a doc id) map-side
+    ``value_mode="hash"`` groups by ``xxhash64(string value)`` instead
+    of the value. On a near-unique column (e.g. a doc id) map-side
     combine cannot shrink this shuffle — every row crosses the wire —
     so the 8-byte fingerprint cuts shuffle bytes and comparator cost
     several-fold (the round-4 long-keys lesson). Counts per 64-bit
@@ -750,13 +756,32 @@ def _occurrence_and_distinct(
     occurrence_ratio and the exact distinct count are unchanged in
     practice; keep ``"exact"`` where bit-exact SQL parity is checked.
     """
-    pairs = _melt(df, partition_key, cols, "string")
+    k = len(cols)
+    names = [f"_occ_v{i}" for i in range(k)]
     if value_mode == "hash":
-        pairs = pairs.select(
-            partition_key, "column", F.xxhash64("value").alias("value")
-        )
-    counts = pairs.groupBy(partition_key, "column", "value").agg(
-        F.count(F.lit(1)).alias("_cnt")
+        proj = [
+            f"xxhash64(CAST({_qident(c)} AS STRING)) AS {n}"
+            for c, n in zip(cols, names)
+        ]
+    else:
+        proj = [f"{_qident(c)} AS {n}" for c, n in zip(cols, names)]
+    src = df.selectExpr(_qident(partition_key), *proj)
+    first = src.groupingSets(
+        [[partition_key, n] for n in names], partition_key, *names
+    ).agg(F.expr("grouping_id() AS _gid"), F.expr("count(1) AS _cnt"))
+    # one linear projection maps each grouping set back to its column
+    # name and drops null-valued groups — no per-column plan branches
+    # (grouping_id bit for value column j is 1 << (k-1-j); the
+    # partition-key bit is never set since it is in every set)
+    gid = lambda i: sum(1 << (k - 1 - j) for j in range(k) if j != i)
+    col_case = "CASE _gid " + " ".join(
+        f"WHEN {gid(i)} THEN {_qlit(c)}" for i, c in enumerate(cols)
+    ) + " END"
+    keep_case = "CASE _gid " + " ".join(
+        f"WHEN {gid(i)} THEN ({names[i]} IS NOT NULL)" for i in range(k)
+    ) + " ELSE false END"
+    counts = first.where(F.expr(keep_case)).selectExpr(
+        _qident(partition_key), f"{col_case} AS column", "_cnt"
     )
     return counts.groupBy(partition_key, "column").agg(
         (F.max("_cnt") / F.sum("_cnt")).cast("double").alias("_occ"),

@@ -755,7 +755,17 @@ def _occurrence_and_distinct(
     fingerprint equal counts per value up to 2^-64 collisions, so
     occurrence_ratio and the exact distinct count are unchanged in
     practice; keep ``"exact"`` where bit-exact SQL parity is checked.
+
+    Dispatch: the grouping-sets form only for <= 8 columns. Above
+    that, Expand's duplicated rows carry every grouping column (one
+    UnsafeRow field per column, nulls included), so shuffle bytes grow
+    linearly with column count where the melt's stay constant — and
+    Spark caps grouping sets at 64 anyway (the 300-column wide path
+    stays on the single-scan melt cascade; both forms are
+    value-identical).
     """
+    if len(cols) > 8:
+        return _occurrence_and_distinct_melt(df, partition_key, cols, value_mode)
     k = len(cols)
     names = [f"_occ_v{i}" for i in range(k)]
     if value_mode == "hash":
@@ -782,6 +792,28 @@ def _occurrence_and_distinct(
     ) + " ELSE false END"
     counts = first.where(F.expr(keep_case)).selectExpr(
         _qident(partition_key), f"{col_case} AS column", "_cnt"
+    )
+    return counts.groupBy(partition_key, "column").agg(
+        (F.max("_cnt") / F.sum("_cnt")).cast("double").alias("_occ"),
+        F.count(F.lit(1)).alias("_ndv"),
+    )
+
+
+def _occurrence_and_distinct_melt(
+    df: DataFrame, partition_key: str, cols: list[str], value_mode: str
+) -> DataFrame:
+    """Wide-column form of :func:`_occurrence_and_distinct`: one
+    string-typed melt of all columns (single scan regardless of column
+    count, constant-width shuffle rows), then the two-level value
+    cascade. Value-identical to the grouping-sets form — the string
+    cast is injective within a column."""
+    pairs = _melt(df, partition_key, cols, "string")
+    if value_mode == "hash":
+        pairs = pairs.select(
+            partition_key, "column", F.xxhash64("value").alias("value")
+        )
+    counts = pairs.groupBy(partition_key, "column", "value").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
     return counts.groupBy(partition_key, "column").agg(
         (F.max("_cnt") / F.sum("_cnt")).cast("double").alias("_occ"),
